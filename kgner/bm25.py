@@ -1,0 +1,67 @@
+"""BM25 scoring math — pure functions shared by the Spark retrieval join and
+the oracle.
+
+The reference delegates scoring to ElasticSearch (kb/build_kb.py:17-36 index,
+kb/generate_data.py:33-68 `_msearch` with `bool.should` match on text +
+optional title boost x2).  We re-express the index as DATA (postings/docs
+DataFrames) and the query as a similarity top-k join (SURVEY.md §2 J-1); the
+per-(term,doc) contribution below is Lucene's BM25 (k1=1.2, b=0.75) so scores
+are reproducible in plain SQL too.
+"""
+
+from __future__ import annotations
+
+import math
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(doc_freq: int, n_docs: int) -> float:
+    """Lucene BM25 idf: ln(1 + (N - df + 0.5) / (df + 0.5))."""
+    return math.log(1.0 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+
+
+def term_score(tf: int, doc_len: int, avg_len: float, doc_freq: int, n_docs: int) -> float:
+    """BM25 contribution of one (term, doc)."""
+    denom = tf + K1 * (1.0 - B + B * doc_len / avg_len)
+    return idf(doc_freq, n_docs) * tf * (K1 + 1.0) / denom
+
+
+def bm25_rank(
+    query_terms: list[str],
+    postings: dict[str, dict[int, int]],
+    doc_lens: dict[int, int],
+    k: int = 10,
+    title_terms: dict[int, set[str]] | None = None,
+    boost_terms: list[str] | None = None,
+    title_boost: float = 2.0,
+) -> list[tuple[int, float]]:
+    """Oracle-side BM25 top-k: returns [(doc_id, score)] sorted by
+    (score desc, doc_id asc) — the deterministic tiebreak from SURVEY §7.3.
+
+    `boost_terms` models the reference's entity-boosted `match(title, entity,
+    boost=2.0)` clause (kb/generate_data.py:52-55): a second scoring pass over
+    the title field with x2 weight, summed into the doc score.
+    """
+    n_docs = len(doc_lens)
+    if n_docs == 0:
+        return []
+    avg_len = sum(doc_lens.values()) / n_docs
+    scores: dict[int, float] = {}
+    for term in query_terms:
+        plist = postings.get(term)
+        if not plist:
+            continue
+        df = len(plist)
+        for doc_id, tf in plist.items():
+            scores[doc_id] = scores.get(doc_id, 0.0) + term_score(
+                tf, doc_lens[doc_id], avg_len, df, n_docs
+            )
+    if boost_terms and title_terms:
+        for term in boost_terms:
+            for doc_id, terms in title_terms.items():
+                if term in terms:
+                    scores[doc_id] = scores.get(doc_id, 0.0) + title_boost
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
