@@ -76,10 +76,9 @@ def build_fixtures(
             fx.redirects.append({"alias_title": a1, "canonical_title": canon})
         if rng.random() < 0.3:  # 2-hop chain: a2 -> a1-or-canon
             a2 = f"zqb{i:04d}"
+            hop = aliases[1] if len(aliases) > 1 else canon
             aliases.append(a2)
-            fx.redirects.append(
-                {"alias_title": a2, "canonical_title": aliases[1]}
-            )
+            fx.redirects.append({"alias_title": a2, "canonical_title": hop})
         fx.entities[canon] = {"label": label, "aliases": aliases, "idx": i}
         for a in aliases:
             fx.alias_map[a.lower()] = canon

@@ -1,0 +1,115 @@
+"""Text-stage Spark functions.
+
+Policy (BASELINE.json input_hint): vectorized pandas/Arrow UDFs only — never
+row-at-a-time Python — and ONLY where a JVM built-in cannot express the
+semantics. Tokenization, subtoken counting, normalization and key-building
+stay JVM-side (whole-stage codegen); html extraction and sentence splitting
+are Arrow-batched pandas UDFs over the pinned pure functions in
+kgner.textops, preserving the byte-identical-per-url invariant.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.functions import pandas_udf
+
+from kgner import textops
+
+# Subtoken proxy regex, JVM (java.util.regex) compatible — same class as
+# kgner.textops._BPE_ISH_RE so JVM and Python counts agree.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+@pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """html:binary -> extracted text (deterministic; north-rule invariant).
+
+    Reference analogue: the wikipedia2vec/LMDB text extraction consumed by
+    /root/reference/kb/parse_text.py:34-45 — here a pinned pure function.
+    """
+    return html.map(textops.extract_text)
+
+
+_SENT_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("offset", IntegerType()),
+            StructField("sentence", StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_SENT_TYPE)
+def split_sentences_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
+    """(text, lang) -> array<struct<offset,sentence>> in document order.
+
+    Mirrors /root/reference/kb/parse_text.py:17-32,74-79 (CJK terminator rule
+    for zh). Offsets are the deterministic sent_id ordering key (FIXTURES.md).
+    """
+    return pd.Series(
+        [
+            [
+                {"offset": off, "sentence": s}
+                for off, s in textops.split_sentences_with_offsets(t or "", lg or "en")
+            ]
+            for t, lg in zip(text, lang)
+        ]
+    )
+
+
+def tokens_col(sentence: Column) -> Column:
+    """Whitespace tokenization, JVM-side (flair/data.py:411-428 semantics)."""
+    return F.split(F.trim(sentence), r"\s+")
+
+
+def subtoken_len_col(sentence: Column) -> Column:
+    """JVM-side subtoken-count proxy (matches kgner.textops.subtoken_len)."""
+    return F.size(F.regexp_extract_all(sentence, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def sentence_key_col(tokens: Column) -> Column:
+    """Lowercased ws-joined retrieval key (kb/context_process.py:188-211)."""
+    return F.lower(F.concat_ws(" ", tokens))
+
+
+def with_sentences(pages: DataFrame) -> DataFrame:
+    """pages -> sentences(url, lang, sent_id, sentence, tokens, n_tokens,
+    subtoken_len).
+
+    sent_id comes from posexplode over the order-preserving split UDF — NO
+    window, NO shuffle: each page's sentences are numbered locally, so this
+    stage is embarrassingly parallel at any scale.
+    """
+    return (
+        pages.select(
+            "url",
+            "lang",
+            F.posexplode(split_sentences_udf(F.col("text"), F.col("lang"))).alias(
+                "sent_id", "s"
+            ),
+        )
+        .select(
+            "url",
+            "lang",
+            "sent_id",
+            F.col("s.sentence").alias("sentence"),
+        )
+        .withColumn("tokens", tokens_col(F.col("sentence")))
+        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn("subtoken_len", subtoken_len_col(F.col("sentence")))
+    )
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add a whitespace `tokens` column JVM-side."""
+    return df.withColumn("tokens", tokens_col(F.col(text_col)))

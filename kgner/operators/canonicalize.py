@@ -1,0 +1,93 @@
+"""Distributed connected components for alias/redirect canonicalization.
+
+The reference resolves one redirect hop (db.resolve_redirect,
+/root/reference/kb/parse_text.py:59-63); real web KBs have chains and cycles,
+so we canonicalize via connected components: iterative min-label propagation
+expressed as DataFrame self-joins (no GraphFrames dependency).
+
+Scale notes:
+- each iteration is one shuffle on `node` (groupBy min) + one join;
+  iterations = O(graph diameter); redirect graphs have tiny diameter (<10).
+- `max_iters` caps pathological chains; `localCheckpoint()` every iteration
+  cuts the lineage so the plan doesn't grow exponentially (classic iterative-
+  DataFrame pitfall).
+- convergence check is a cheap aggregate (sum of label changes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """edges(src, dst) undirected -> (node, component) with component = the
+    lexicographically smallest node in the component (matches the oracle
+    kgner.linkops.connected_components)."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .union(edges.select(F.col("src").alias("src"), F.col("src").alias("dst")))
+        .union(edges.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
+        .distinct()
+    )
+    # label[node] = min neighbor (incl. self) to start
+    labels = sym.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("component")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # propagate: candidate label via neighbors' labels
+        neigh = (
+            sym.join(labels, sym.dst == labels.node, "inner")
+            .select(sym.src.alias("node"), F.col("component"))
+        )
+        new_labels = (
+            neigh.union(labels.select("node", "component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_map(
+    edges: DataFrame, titles: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """-> (alias_norm, canonical_id): every node of the alias graph mapped to
+    its component's canonical representative.
+
+    Representative = the KB title in the component when one exists (smallest
+    title if several), else the smallest node — same rule as the oracle.
+    `titles` must have a `title` column. Output alias_norm is lowercased.
+    """
+    comp = connected_components(edges, max_iters=max_iters)
+    t = titles.select(F.col("title")).distinct()
+    rep = (
+        comp.join(t, comp.node == t.title, "left")
+        .groupBy("component")
+        .agg(
+            F.min("title").alias("title_rep"),
+            F.min("node").alias("node_rep"),
+        )
+        .select(
+            "component",
+            F.coalesce("title_rep", "node_rep").alias("canonical_id"),
+        )
+    )
+    return (
+        comp.join(rep, "component")
+        .select(F.lower(F.col("node")).alias("alias_norm"), "canonical_id")
+        .dropDuplicates(["alias_norm"])
+    )

@@ -1,0 +1,114 @@
+"""KB build stage: kb_pages -> kb_sentences, postings/docs (the "ES index"
+as data), and the alias table.
+
+Reference analogue (/root/reference):
+- paragraph dedup            kb/parse_text.py:39-52  -> dropDuplicates
+- anchor/redirect handling   kb/parse_text.py:53-71  -> explode + clamp filter
+- s_id/p_id numbering        kb/parse_text.py:45,79-86 -> posexplode (local,
+  order-preserving, shuffle-free — deterministic W-4 without a window)
+- ES index build             kb/build_kb.py:17-86    -> postings/docs tables
+
+Scale notes: postings are built by explode+groupBy on (term, doc_id) — one
+shuffle keyed by high-cardinality (term, doc_id), no skew hot-spot beyond
+stopword terms, which BM25 idf renders harmless and AQE skew-split handles.
+At 100 TB the postings table would be written bucketed by `term` so the
+retrieval join (J-1) is shuffle-free on the KB side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgner.functions.text import split_sentences_udf, tokens_col
+
+
+def kb_sentences(kb_pages: DataFrame) -> DataFrame:
+    """kb_pages -> (title, p_id, s_id, sentence, paragraph, url, anchors).
+
+    Mirrors the JSONL record of kb/parse_text.py:81. Duplicate paragraphs are
+    dropped per (title, paragraph text) BEFORE sentence split (P-2), and
+    out-of-range anchors are clamped away (parse_text.py:64-68 semantics).
+    """
+    paras = (
+        kb_pages.select(
+            "title",
+            "lang",
+            F.posexplode("paragraphs").alias("p_id", "para"),
+        )
+        .select(
+            "title",
+            "lang",
+            "p_id",
+            F.col("para.text").alias("paragraph"),
+            F.filter(
+                "para.anchors",
+                lambda a: (a["start"] >= 0)
+                & (a["start"] < F.length(F.col("para.text"))),
+            ).alias("anchors"),
+        )
+        .dropDuplicates(["title", "paragraph"])
+    )
+    return paras.select(
+        "title",
+        "lang",
+        "p_id",
+        "paragraph",
+        "anchors",
+        F.posexplode(split_sentences_udf(F.col("paragraph"), F.col("lang"))).alias(
+            "s_id", "s"
+        ),
+    ).select(
+        "title",
+        "p_id",
+        "s_id",
+        F.col("s.sentence").alias("sentence"),
+        "paragraph",
+        F.concat(
+            F.lit("https://kb.example.org/wiki/"),
+            F.regexp_replace("title", " ", "_"),
+        ).alias("url"),
+        "anchors",
+        "lang",
+    )
+
+
+def kb_index(kb_sents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """kb_sentences -> (postings(term, doc_id, tf), docs(doc_id, len, title,
+    url, sentence)).
+
+    doc_id = dense per-sentence id derived from xxhash64(title,p_id,s_id) —
+    deterministic, no global ordering pass (at 10^12 docs a row_number over
+    everything is a non-starter).
+    """
+    docs = kb_sents.select(
+        F.xxhash64("title", "p_id", "s_id").alias("doc_id"),
+        "title",
+        "url",
+        "sentence",
+        F.size(tokens_col(F.col("sentence"))).alias("len"),
+    )
+    postings = (
+        kb_sents.select(
+            F.xxhash64("title", "p_id", "s_id").alias("doc_id"),
+            F.explode(tokens_col(F.lower(F.col("sentence")))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    return postings, docs
+
+
+def alias_edges(kb_pages: DataFrame, redirects: DataFrame) -> DataFrame:
+    """Edge list (src, dst) of the alias graph: redirects + title self-loops.
+
+    Input to canonicalize.connected_components; anchor mentions are linked at
+    match time (they resolve through this same canonical map).
+    """
+    title_loops = kb_pages.select(
+        F.col("title").alias("src"), F.col("title").alias("dst")
+    )
+    redir = redirects.select(
+        F.col("alias_title").alias("src"), F.col("canonical_title").alias("dst")
+    )
+    return redir.unionByName(title_loops).distinct()

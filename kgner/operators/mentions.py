@@ -1,0 +1,130 @@
+"""Mention detection: broadcast-gazetteer alias matching over sentences.
+
+Production form of the reference's entity-in-context matching
+(/root/reference/kb/context_process.py:578-657: enumerate token spans i..j,
+equi-match lowercase span text). Instead of exploding every sentence into all
+O(n * max_len) candidate n-grams and shuffling them into an equi-join, we
+broadcast the alias index (aliases are a dimension table — small relative to
+the corpus) and scan each sentence once inside an Arrow-batched UDF with the
+same greedy longest-first semantics as the oracle (kgner.linkops).
+
+Scale notes: zero shuffle — the stage is map-only over sentences; the alias
+dict is broadcast once per executor (Spark broadcast, not per-task closure).
+For alias tables too large to broadcast (>~1-2 GB) the fallback is the
+explode + equi-join form in `mentions_by_join`, which Catalyst can still
+broadcast or shuffle-hash as stats dictate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgner.linkops import build_alias_index, match_aliases
+
+MENTIONS_SCHEMA = (
+    "url string, sent_id int, start int, end int, text string, entity_id string"
+)
+
+
+def detect_mentions(
+    spark: SparkSession, sentences: DataFrame, aliases: DataFrame
+) -> DataFrame:
+    """sentences(url, sent_id, tokens) x aliases(alias_norm, canonical_id)
+    -> mentions(url, sent_id, start, end, text, entity_id)."""
+    pairs = [
+        (r["alias_norm"], r["canonical_id"])
+        for r in aliases.select("alias_norm", "canonical_id").collect()
+    ]
+    pairs.sort()
+    alias_idx, max_len = build_alias_index(pairs)
+    b_idx = spark.sparkContext.broadcast((alias_idx, max_len))
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx, ml = b_idx.value
+        for pdf in batches:
+            urls, sids, starts, ends, texts, ents = [], [], [], [], [], []
+            for url, sid, toks in zip(pdf["url"], pdf["sent_id"], pdf["tokens"]):
+                toks = list(toks)
+                for s, e, canon in match_aliases(toks, idx, ml):
+                    urls.append(url)
+                    sids.append(sid)
+                    starts.append(s)
+                    ends.append(e)
+                    texts.append(" ".join(toks[s:e]))
+                    ents.append(canon)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "sent_id": pd.Series(sids, dtype="int32"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "end": pd.Series(ends, dtype="int32"),
+                    "text": pd.Series(texts, dtype="object"),
+                    "entity_id": pd.Series(ents, dtype="object"),
+                }
+            )
+
+    return sentences.select("url", "sent_id", "tokens").mapInPandas(
+        scan, MENTIONS_SCHEMA
+    )
+
+
+def mentions_by_join(
+    sentences: DataFrame, aliases: DataFrame, max_ngram: int = 4
+) -> DataFrame:
+    """Join-based fallback (the literal J-3 shape): explode candidate n-grams,
+    equi-join on lowercase span text. Correct but shuffles O(n * max_ngram)
+    candidate rows — used when the alias table cannot broadcast.
+
+    Overlaps are resolved longest-first-then-leftmost per sentence, matching
+    the greedy scan on non-pathological gazetteers.
+    """
+    cands = None
+    toks = F.col("tokens")
+    for ln in range(1, max_ngram + 1):
+        c = (
+            sentences.select(
+                "url",
+                "sent_id",
+                F.posexplode(
+                    F.transform(
+                        F.slice(toks, 1, F.greatest(F.size(toks) - ln + 1, F.lit(0))),
+                        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, ln)),
+                    )
+                ).alias("start", "text"),
+            )
+            .withColumn("end", F.col("start") + ln)
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    joined = cands.join(
+        F.broadcast(aliases.select(F.col("alias_norm"), "canonical_id")),
+        F.lower(F.col("text")) == F.col("alias_norm"),
+    ).select("url", "sent_id", "start", "end", "text",
+             F.col("canonical_id").alias("entity_id"))
+    # greedy longest-first non-overlap per sentence
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url", "sent_id").orderBy(
+        (F.col("end") - F.col("start")).desc(), F.col("start").asc()
+    )
+    ranked = joined.withColumn("rk", F.row_number().over(w))
+    # small per-sentence candidate sets: resolve overlaps in a grouped UDF
+    import pandas as pd  # noqa: F811
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rk")
+        chosen: list[tuple[int, int]] = []
+        keep = []
+        for _, row in pdf.iterrows():
+            s, e = row["start"], row["end"]
+            if all(e <= cs or s >= ce for cs, ce in chosen):
+                chosen.append((s, e))
+                keep.append(True)
+            else:
+                keep.append(False)
+        return pdf[pd.Series(keep, index=pdf.index)].drop(columns=["rk"])
+
+    return ranked.groupBy("url", "sent_id").applyInPandas(pick, MENTIONS_SCHEMA)

@@ -1,0 +1,119 @@
+"""BM25 top-k retrieval as a similarity join over postings tables.
+
+This is the system's heart (SURVEY.md §2 J-1): the reference queries an
+ElasticSearch index with bool.should match on sentence text plus an optional
+title clause boosted x2 (/root/reference/kb/generate_data.py:33-68, index
+analyzers kb/build_kb.py:17-36). Here the "index" is data:
+
+    queries(query_id, tokens)        -- one row per query sentence
+    postings(term, doc_id, tf)       -- the inverted index
+    docs(doc_id, len, title, url, sentence)
+
+and retrieval is: explode query terms -> equi-join postings on term ->
+per-(query,doc) BM25 partial-sum -> window top-k with the deterministic
+tiebreak (score desc, doc_id asc) from SURVEY §7.3.
+
+Scale notes:
+- the join is keyed on `term`; stopword terms are the skew axis — AQE skew
+  split handles it, and the idf weight makes their contribution tiny. At
+  cluster scale the postings table is bucketed by term so only the query
+  side shuffles.
+- df/idf and avg_len are tiny per-term / scalar aggregates computed once and
+  broadcast into the join (no driver collect of data-sized state).
+- the final top-k is a window over query_id — the natural partitioning; with
+  AQE the post-aggregation partition count adapts to the query count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kgner.bm25 import B, K1
+
+
+def bm25_topk(
+    queries: DataFrame,
+    postings: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    boost_entities: DataFrame | None = None,
+    title_boost: float = 2.0,
+) -> DataFrame:
+    """-> retrievals(query_id, rank, doc_id, score, sentence, title, url).
+
+    queries: (query_id, tokens array<string>) — tokens already lowercased.
+    boost_entities: optional (query_id, entity string) rows; adds the
+    reference's entity->title boost clause (generate_data.py:52-55).
+    """
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
+    )
+    doc_freq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+
+    qterms = queries.select(
+        "query_id", F.explode(F.array_distinct("tokens")).alias("term")
+    )
+    # distinct terms per query: BM25 sums each matched term once per doc with
+    # the doc-side tf (the ES match query sums per unique query term).
+    scored = (
+        qterms.join(postings, "term")
+        .join(F.broadcast(doc_freq), "term")
+        .join(docs.select("doc_id", "len"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.col("idf")
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (
+                F.col("tf")
+                + K1 * (1.0 - B + B * F.col("len") / F.col("avg_len"))
+            ),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+    if boost_entities is not None:
+        title_terms = docs.select(
+            "doc_id", F.explode(F.split(F.lower("title"), r"\s+")).alias("term")
+        ).distinct()
+        boosts = (
+            boost_entities.select(
+                "query_id", F.explode(F.split(F.lower("entity"), r"\s+")).alias("term")
+            )
+            .distinct()
+            .join(title_terms, "term")
+            .groupBy("query_id", "doc_id")
+            .agg((F.count(F.lit(1)) * title_boost).alias("boost"))
+        )
+        scored = (
+            scored.join(boosts, ["query_id", "doc_id"], "outer")
+            .fillna(0.0, subset=["score", "boost"])
+            .select(
+                "query_id",
+                "doc_id",
+                (F.col("score") + F.col("boost")).alias("score"),
+            )
+        )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(docs.select("doc_id", "sentence", "title", "url"), "doc_id")
+        .select("query_id", "rank", "doc_id", "score", "sentence", "title", "url")
+    )
