@@ -1,38 +1,56 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship KG-construction query on /root/testdata/sf0.001:
+                  documents are treated as web pages, gazetteer aliases as the
+                  KB, and the pipeline emits (subj, pred, obj) triples via the
+                  real kgner operators (mention detection -> co-occurrence ->
+                  triple materialization).
+queries()      -> one entry per implemented operator (see kgner/queries.py;
+                  each docstring cites the SURVEY.md §2 operator it covers).
+oracle_sql()   -> matching DuckDB SQL; minhash_lsh/simhash_dups are rows-only
+                  (engine-specific 64-bit hashes), unit-tested instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: gazetteer-KB triple extraction over sf0.001 documents."""
+    from pyspark.sql import functions as F
+
+    from kgner.operators.mentions import detect_mentions
+    from kgner.operators.triples import cooccurrence_triples, mention_triples
+    from kgner.queries import GAZ
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # documents -> the `sentences` shape (url, sent_id, tokens)
+    sents = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(0).cast("int").alias("sent_id"),
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("tokens"),
+    )
+    aliases = spark.createDataFrame(
+        [(g, g.upper()) for g in GAZ], "alias_norm string, canonical_id string"
+    )
+    mentions = detect_mentions(spark, sents, aliases)
+    return mention_triples(mentions).unionByName(cooccurrence_triples(mentions))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgner.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgner.queries import ORACLES
+
+    return dict(ORACLES)

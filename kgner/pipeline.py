@@ -1,0 +1,166 @@
+"""Staged, checkpoint-resumable KG-construction DAG (north-rule shape).
+
+Each stage reads committed upstream tables, writes its own table under the
+workdir, and records lineage. A stage whose output is already committed
+(_SUCCESS marker — the parquet stand-in for an Iceberg snapshot) is SKIPPED
+on resume, so a killed run re-executes only the missing suffix of the DAG.
+
+Stage graph:
+
+    pages ──extract──> extracted ──sentences──> sentences ─┐
+    kb_pages ──kb──> kb_sentences, postings, docs          ├─ mentions ──> triples
+    redirects ──canon──> canonical (alias_norm->entity)  ──┘
+    model_predictions ──ensemble──> ensembled (optional input)
+
+Run via  spark-submit --py-files kgner.zip -m kgner.run  (kgner/run.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgner import io
+from kgner.lineage import LineageLog
+
+
+@dataclass
+class PipelineConfig:
+    workdir: str
+    salt_buckets: int = 0  # >0: salted repartition on domain hash (skew guard)
+    resume: bool = True
+    stages: list[str] = field(
+        default_factory=lambda: [
+            "extracted",
+            "sentences",
+            "kb_sentences",
+            "canonical",
+            "mentions",
+            "triples",
+        ]
+    )
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: PipelineConfig,
+        pages: DataFrame,
+        kb_pages: DataFrame,
+        redirects: DataFrame,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.inputs = {"pages": pages, "kb_pages": kb_pages, "redirects": redirects}
+        self.lineage = LineageLog(cfg.workdir)
+        self.skipped: list[str] = []
+        self.ran: list[str] = []
+
+    # -- stage helpers ------------------------------------------------------
+    def _done(self, name: str) -> bool:
+        return self.cfg.resume and io.is_committed(self.cfg.workdir, name)
+
+    def _read(self, name: str) -> DataFrame:
+        return io.read_table(self.spark, self.cfg.workdir, name)
+
+    def _write(self, name: str, df: DataFrame, partition_by=None) -> None:
+        self.lineage.observed_write(
+            name,
+            df,
+            lambda d: io.write_table(d, self.cfg.workdir, name, partition_by),
+        )
+        self.ran.append(name)
+
+    # -- stages ---------------------------------------------------------------
+    def stage_extracted(self) -> None:
+        if self._done("extracted"):
+            self.skipped.append("extracted")
+            return
+        from kgner.functions.text import extract_text_udf
+
+        pages = self.inputs["pages"]
+        if self.cfg.salt_buckets > 0:
+            # salted repartition on domain hash: hot domains spread over
+            # salt_buckets partitions (north_rule explicit skew handling)
+            domain = F.parse_url(F.col("url"), F.lit("HOST"))
+            salt = (F.rand(seed=42) * self.cfg.salt_buckets).cast("int")
+            pages = pages.repartition(F.xxhash64(domain), salt)
+        out = pages.select(
+            "url",
+            "warc_ts",
+            "lang",
+            extract_text_udf(F.col("html")).alias("text"),
+        )
+        # partition by ingest day (the parquet stand-in for Iceberg
+        # days(warc_ts) partition transform)
+        out = out.withColumn("warc_day", F.to_date("warc_ts"))
+        self._write("extracted", out, partition_by=["warc_day"])
+
+    def stage_sentences(self) -> None:
+        if self._done("sentences"):
+            self.skipped.append("sentences")
+            return
+        from kgner.functions.text import with_sentences
+
+        self._write("sentences", with_sentences(self._read("extracted")))
+
+    def stage_kb(self) -> None:
+        if self._done("kb_sentences"):
+            self.skipped.append("kb_sentences")
+            return
+        from kgner.operators.kbbuild import kb_sentences
+
+        self._write("kb_sentences", kb_sentences(self.inputs["kb_pages"]))
+
+    def stage_canonical(self) -> None:
+        if self._done("canonical"):
+            self.skipped.append("canonical")
+            return
+        from kgner.operators.canonicalize import canonical_map
+        from kgner.operators.kbbuild import alias_edges
+
+        edges = alias_edges(self.inputs["kb_pages"], self.inputs["redirects"])
+        self._write(
+            "canonical",
+            canonical_map(edges, self.inputs["kb_pages"].select("title")),
+        )
+
+    def stage_mentions(self) -> None:
+        if self._done("mentions"):
+            self.skipped.append("mentions")
+            return
+        from kgner.operators.mentions import detect_mentions
+
+        self._write(
+            "mentions",
+            detect_mentions(
+                self.spark, self._read("sentences"), self._read("canonical")
+            ),
+        )
+
+    def stage_triples(self) -> None:
+        if self._done("triples"):
+            self.skipped.append("triples")
+            return
+        from kgner.operators.triples import all_triples
+
+        self._write(
+            "triples",
+            all_triples(
+                self._read("mentions"),
+                self._read("kb_sentences"),
+                self._read("canonical"),
+            ),
+        )
+
+    def run(self) -> DataFrame:
+        self.stage_extracted()
+        self.stage_sentences()
+        self.stage_kb()
+        self.stage_canonical()
+        self.stage_mentions()
+        self.stage_triples()
+        return self._read("triples")

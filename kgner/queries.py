@@ -1,0 +1,1011 @@
+"""Driver-contract query registry: every implemented operator exposed as a
+(spark_callable, oracle_sql) pair over the driver's parquet tables
+(region nation customer supplier part orders lineitem events documents
+embeddings).
+
+Conventions (the driver compares row-count + schema + order-insensitive
+value-hash with columns sorted by NAME):
+- every numeric output column is explicitly long (bigint) or a round()ed
+  double, identically on both sides — no engine-default integer widths;
+- monetary sums are integer CENTS (exact in both engines);
+- ranking windows order by ROUNDED scores with an id tiebreak so float
+  last-bit differences between engines cannot flip ranks;
+- each entry's docstring cites the SURVEY.md §2 operator(s) it covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kgner.functions.text import BPE_ISH_PATTERN
+
+# gazetteer over the synthetic `documents` vocabulary (entity stand-ins)
+GAZ = ["spark", "customer", "table", "join", "window"]
+GAZ_SQL = "('spark','customer','table','join','window')"
+
+EN_STOP = ["the", "a", "of", "and", "to", "in", "is", "that", "for", "it"]
+EN_STOP_SQL = "('the','a','of','and','to','in','is','that','for','it')"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _toks(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+# --------------------------------------------------------------------------
+# Relational core (scan/filter/agg/join/window/set families, SURVEY §2 A/J/T/U/W)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """A-1/A-5 family: multi-measure grouped aggregation (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity")).cast("long").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "sum_base_cents"
+            ),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-01'
+GROUP BY 1, 2
+"""
+
+
+def q_top_orders_per_cust(spark, sf_dir):
+    """T-1/W-4: deterministic per-group top-k window (top-3 orders by price)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").cast("long").alias("o_custkey"),
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            "rn",
+        )
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(rn AS BIGINT) AS rn
+FROM (SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_revenue_by_region(spark, sf_dir):
+    """J-6: broadcast dimension joins (customer->nation->region) + rollup agg."""
+    c, n, r, o = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "orders"),
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_REVENUE_REGION = """
+SELECT r_name,
+       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """J anti-join (the reference's failed_dict tracking -> left_anti)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").cast("long").alias("c_custkey"))
+    )
+
+
+ORACLE_NO_ORDERS = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_corpus_union(spark, sf_dir):
+    """U-1: tagged corpus union (MultiCorpus semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.lit("building").alias("corpus"),
+    )
+    b = c.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        F.lit("negative").alias("corpus"),
+    )
+    return a.unionByName(b).groupBy("corpus").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE_UNION = """
+SELECT corpus, count(*) AS n FROM (
+  SELECT CAST(c_custkey AS BIGINT) c_custkey, 'building' AS corpus
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+  UNION ALL
+  SELECT CAST(c_custkey AS BIGINT), 'negative' FROM customer WHERE c_acctbal < 0
+) GROUP BY 1
+"""
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + group + rounded top-10 (J + T families)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+            "long"
+        )
+    ).alias("revenue_cents")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(rev)
+    )
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+    return (
+        g.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("l_orderkey").cast("long").alias("l_orderkey"), "revenue_cents", "rn")
+    )
+
+
+ORACLE_TOP_REVENUE = """
+WITH g AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY 1
+)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, revenue_cents, CAST(rn AS BIGINT) AS rn
+FROM (SELECT *, row_number() OVER (ORDER BY revenue_cents DESC, l_orderkey ASC) rn FROM g)
+WHERE rn <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: window/sequence/sessionization (W family + date functions)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark, sf_dir):
+    """Date-trunc grouped agg (metrics layer)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_event_gaps(spark, sf_dir):
+    """W-1 family: lag window — per-user gap to previous event."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    sec = F.unix_timestamp(F.col("ts"))
+    return (
+        e.withColumn("prev_event_id", F.lag("event_id").over(w).cast("long"))
+        .withColumn("prev_sec", F.lag(sec).over(w))
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            "prev_event_id",
+            (sec - F.col("prev_sec")).cast("long").alias("gap_s"),
+        )
+    )
+
+
+ORACLE_EVENT_GAPS = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(lag(event_id) OVER w AS BIGINT) AS prev_event_id,
+       CAST(CAST(floor(epoch(ts)) AS BIGINT)
+            - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS BIGINT) AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min gap) — stateful-stream shape
+    expressed as batch windows (SURVEY §2.J: reference is batch-only)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    sec = F.unix_timestamp(F.col("ts"))
+    newsess = (
+        (sec - F.lag(sec).over(w)) > 1800
+    ).cast("long")
+    sess = e.withColumn("is_new", F.coalesce(newsess, F.lit(1).cast("long")))
+    sess = sess.withColumn("session_idx", F.sum("is_new").over(w))
+    return sess.groupBy("user_id").agg(
+        F.max("session_idx").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(F.col("user_id").cast("long").alias("user_id"), "n_sessions", "n_events")
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800
+              THEN 1
+              WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   IS NULL THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS session_idx
+  FROM g
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(max(session_idx) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY 1
+"""
+
+
+def q_distinct_users(spark, sf_dir):
+    """A family: exact distinct aggregation per group."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ORACLE_DISTINCT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events FROM events GROUP BY 1
+"""
+
+
+def q_event_type_dict(spark, sf_dir):
+    """A-4: tag dictionary (distinct values + deterministic index)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("event_type").asc())
+    return (
+        e.select("event_type")
+        .distinct()
+        .withColumn("idx", F.row_number().over(w).cast("long"))
+    )
+
+
+ORACLE_EVENT_DICT = """
+SELECT event_type, CAST(row_number() OVER (ORDER BY event_type ASC) AS BIGINT) AS idx
+FROM (SELECT DISTINCT event_type FROM events)
+"""
+
+
+# --------------------------------------------------------------------------
+# Documents: text pipeline operators (P/A/U families + curation ops)
+# --------------------------------------------------------------------------
+
+def q_vocab(spark, sf_dir):
+    """A-3: vocabulary build with min_freq cutoff (flair/data.py:901-960)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_toks(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+
+
+ORACLE_VOCAB = r"""
+SELECT term, count(*) AS freq
+FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents)
+GROUP BY 1 HAVING count(*) >= 5
+"""
+
+
+def q_length_filter(spark, sf_dir):
+    """P-6: token-length filter (drop sentences > max_len)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(_toks(F.col("text"))).cast("long").alias("n_toks"),
+    ).filter(F.col("n_toks") <= 40)
+
+
+ORACLE_LENGTH_FILTER = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_toks
+FROM documents
+WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) <= 40
+"""
+
+
+def q_resample_probs(spark, sf_dir):
+    """A-7: per-corpus p^0.7 resampling distribution
+    (flair/trainers/finetune_trainer.py:98-103)."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    total = cnt.agg(F.sum(F.pow(F.col("n"), 0.7)).alias("z"))
+    return cnt.crossJoin(total).select(
+        "lang", "n", F.round(F.pow(F.col("n"), 0.7) / F.col("z"), 6).alias("p")
+    )
+
+
+ORACLE_RESAMPLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+     z AS (SELECT sum(pow(n, 0.7)) AS z FROM c)
+SELECT lang, n, round(pow(n, 0.7) / z, 6) AS p FROM c CROSS JOIN z
+"""
+
+
+def q_upsample(spark, sf_dir):
+    """U-2: direct upsample xN via array_repeat + explode (no data copy)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang") == "zh")
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.array_repeat(F.lit(1), 3)).alias("copy"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+
+
+ORACLE_UPSAMPLE = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, count(*) AS copies
+FROM documents CROSS JOIN generate_series(1, 3)
+WHERE lang = 'zh' GROUP BY 1
+"""
+
+
+def q_doc_stats(spark, sf_dir):
+    """A-6: corpus statistics per language."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+ORACLE_DOC_STATS = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY 1
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Dedup #1: exact hash-groupBy (kgner.operators.dedup.exact_dedup
+    semantics, keyed here by normalized text for the SQL oracle)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        d.groupBy(norm.alias("norm"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("keep_id", "group_size")
+    )
+
+
+ORACLE_EXACT_DEDUP = r"""
+SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS group_size
+FROM documents
+GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+"""
+
+
+def q_shingles(spark, sf_dir):
+    """Dedup support: distinct word-3-gram shingle count per doc."""
+    from kgner.operators.dedup import shingle_df
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        shingle_df(d, n=3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "n_shingles")
+    )
+
+
+ORACLE_SHINGLES = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+            ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)]
+            END)) AS BIGINT) AS n_shingles
+FROM t
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Dedup #2: n-gram Jaccard similarity pairs (shingle equi-join blocking).
+
+    Documents are unioned with a shifted copy of themselves so every doc has
+    one exact near-dup — exercises the join path with non-empty output."""
+    from kgner.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    pairs = ngram_jaccard_pairs(doubled, n=3, threshold=0.999)
+    return pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+ORACLE_NGRAM_JACCARD = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM d
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)] END
+         )) AS shingle
+  FROM t
+), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+shb AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM freq)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shb a JOIN shb b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.999
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """Dedup #3: MinHash+LSH near-dup pairs over self-doubled documents.
+
+    No SQL oracle (xxhash64 minhashes are Spark-specific) -> rows-only check;
+    correctness is unit-tested in tests/test_dataops.py."""
+    from kgner.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return minhash_lsh_pairs(doubled, num_hashes=32, bands=8, threshold=0.999).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+
+
+def q_simhash_dups(spark, sf_dir):
+    """Dedup #4: SimHash near-dup pairs (rows-only; unit-tested)."""
+    from kgner.operators.dedup import simhash_near_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return simhash_near_pairs(doubled, max_hamming=0).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    """Curation: whitespace + BPE-ish token counting."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNTS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Curation: script-ratio + stopword language ID heuristic."""
+    from kgner.operators.textquality import lang_id_features
+
+    d = _t(spark, sf_dir, "documents")
+    return lang_id_features(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang_guess"
+    )
+
+
+ORACLE_LANG_ID = r"""
+WITH f AS (
+  SELECT doc_id,
+         greatest(length(text), 1) AS total,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+         length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) AS arab,
+         length(regexp_replace(text, '[^ऀ-ॿ]', '', 'g')) AS deva,
+         length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS cyr,
+         len(list_filter(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+                         x -> x IN {stop})) AS stop_hits
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN CAST(cjk AS DOUBLE)/total > 0.2 THEN 'zh'
+            WHEN CAST(arab AS DOUBLE)/total > 0.2 THEN 'fa'
+            WHEN CAST(deva AS DOUBLE)/total > 0.2 THEN 'hi'
+            WHEN CAST(cyr AS DOUBLE)/total > 0.2 THEN 'ru'
+            WHEN stop_hits >= 2 THEN 'en'
+            ELSE 'und' END AS lang_guess
+FROM f
+""".replace("{stop}", EN_STOP_SQL)
+
+
+def q_quality(spark, sf_dir):
+    """Curation: C4/Gopher-style quality features + composite score."""
+    from kgner.operators.textquality import quality_features
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d.select("doc_id", "text")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_token_len", 4).alias("mean_token_len"),
+        F.round("distinct_token_ratio", 4).alias("distinct_token_ratio"),
+        F.round("quality_score", 2).alias("quality_score"),
+    )
+
+
+ORACLE_QUALITY = r"""
+WITH f AS (
+  SELECT doc_id,
+         greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1) AS n,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+         length(regexp_replace(trim(lower(text)), '\s+', '', 'g')) AS tok_chars,
+         len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS n_distinct,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         greatest(length(text), 1) AS n_chars
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(tok_chars AS DOUBLE)/n, 4) AS mean_token_len,
+       round(CAST(n_distinct AS DOUBLE)/n, 4) AS distinct_token_ratio,
+       round(CAST(
+         (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN CAST(tok_chars AS DOUBLE)/n BETWEEN 2 AND 12 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN CAST(n_distinct AS DOUBLE)/n >= 0.1 THEN 0.25 ELSE 0 END)
+       + (CASE WHEN CAST(punct AS DOUBLE)/n_chars <= 0.2 THEN 0.25 ELSE 0 END)
+         AS DOUBLE), 2) AS quality_score
+FROM f
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Curation: deterministic document fingerprint (md5 of normalized text
+    — the cross-engine-checkable variant of kgner fingerprint's xxhash64)."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.md5(norm).alias("doc_fp_md5")
+    )
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS doc_fp_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# KG operators over documents (the KB-NER path on driver data)
+# --------------------------------------------------------------------------
+
+def q_entity_spans(spark, sf_dir):
+    """W-1: BIO span decoding (flair/data.py:455-532) — gazetteer tokens
+    become B-/I- runs, decoded by the real span-decode UDF, verified by a
+    gaps-and-islands SQL oracle."""
+    from kgner.operators.ensemble import decode_spans_udf
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    gaz = F.array(*[F.lit(g) for g in GAZ])
+    tags = F.transform(
+        toks,
+        lambda t, i: F.when(
+            ~F.array_contains(gaz, t), F.lit("O")
+        ).otherwise(
+            F.when(
+                (i == 0)
+                | ~F.coalesce(
+                    F.array_contains(gaz, F.get(toks, i - 1)), F.lit(False)
+                ),
+                "B-ENT",
+            ).otherwise("I-ENT")
+        ),
+    )
+    spans = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        toks.alias("toks"),
+        F.explode(decode_spans_udf(tags)).alias("span"),
+    )
+    return spans.select(
+        "doc_id",
+        (F.col("span.start") + 1).cast("long").alias("start_pos"),
+        (F.col("span.end") - F.col("span.start")).cast("long").alias("span_len"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("toks"),
+                F.col("span.start") + 1,
+                F.col("span.end") - F.col("span.start"),
+            ),
+        ).alias("span_text"),
+    )
+
+
+ORACLE_ENTITY_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id, tok, ord,
+         ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+  FROM t WHERE tok IN {gaz}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(ord) AS BIGINT) AS start_pos,
+       count(*) AS span_len,
+       string_agg(tok, ' ' ORDER BY ord) AS span_text
+FROM g GROUP BY doc_id, isl
+""".replace("{gaz}", GAZ_SQL)
+
+
+def q_mention_cooccur(spark, sf_dir):
+    """Triple op: distinct co-occurring gazetteer-entity pairs per doc
+    (kgner.operators.triples.cooccurrence_triples shape)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    gaz = F.array(*[F.lit(g) for g in GAZ])
+    ents = F.array_sort(
+        F.array_distinct(F.filter(toks, lambda t: F.array_contains(gaz, t)))
+    )
+    pairs = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ents,
+                    lambda a, i: F.transform(
+                        F.slice(ents, i + 2, F.size(ents)),
+                        lambda b: F.struct(a.alias("ent_a"), b.alias("ent_b")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    return pairs.select(
+        "doc_id", F.col("p.ent_a").alias("ent_a"), F.col("p.ent_b").alias("ent_b")
+    )
+
+
+ORACLE_MENTION_COOCCUR = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), e AS (SELECT DISTINCT doc_id, tok FROM t WHERE tok IN {gaz})
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id, a.tok AS ent_a, b.tok AS ent_b
+FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.tok < b.tok
+""".replace("{gaz}", GAZ_SQL)
+
+
+def q_bm25_retrieval(spark, sf_dir):
+    """J-1 FLAGSHIP: BM25 top-k similarity join — the documents table is both
+    corpus (postings/docs) and query set (first 6 tokens of doc_id < 5).
+    Ranks order by ROUNDED score so cross-engine float noise can't flip them."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    doc_toks = d.select(F.col("doc_id"), F.explode(toks).alias("term"))
+    postings = doc_toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    lens = doc_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(F.slice(toks, 1, 6)).alias("qterms"),
+    )
+    qt = queries.select("query_id", F.explode("qterms").alias("term"))
+    from kgner.bm25 import B, K1
+
+    scored = (
+        qt.join(postings, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("len") / F.col("avg_len"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "rank",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+        )
+    )
+
+
+ORACLE_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+), lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM lens),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries AS (
+  SELECT doc_id AS query_id,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')[1:6]) AS qterms
+  FROM documents WHERE doc_id < 5
+), qt AS (SELECT query_id, unnest(qterms) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))), 6) AS score
+  FROM qt
+  JOIN postings p USING (term)
+  JOIN dfreq d USING (term)
+  JOIN lens l ON p.doc_id = l.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Embeddings: similarity search
+# --------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    """ANN baseline: brute-force cosine top-5 for query vectors vec_id < 3.
+    Ranks over ROUNDED cosine (6dp) with vec_id tiebreak."""
+    from kgner.operators.similarity import cosine_col
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+        )
+    )
+    scored = v.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_col(F.col("q"), F.col("v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "rank",
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "cosine",
+        )
+    )
+
+
+ORACLE_COSINE_TOPK = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, v.vec_id,
+         round(list_dot_product(q.qv, v.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.v, v.v))), 6)
+           AS cosine
+  FROM v CROSS JOIN q
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_embedding_label_centroids(spark, sf_dir):
+    """Vector agg: per-label centroid norm (rounded) — array math JVM-side."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("label", F.col("embedding").cast("array<double>").alias("v"))
+    n = v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.avg(
+                F.sqrt(
+                    F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x)
+                )
+            ),
+            6,
+        ).alias("avg_norm"),
+    )
+    return n.select(F.col("label").cast("long").alias("label"), "n", "avg_norm")
+
+
+ORACLE_CENTROIDS = """
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+       round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+FROM embeddings GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders_per_cust": q_top_orders_per_cust,
+    "revenue_by_region": q_revenue_by_region,
+    "customers_without_orders": q_customers_without_orders,
+    "corpus_union": q_corpus_union,
+    "top_revenue_orders": q_top_revenue_orders,
+    "events_hourly": q_events_hourly,
+    "event_gaps": q_event_gaps,
+    "sessionize": q_sessionize,
+    "distinct_users": q_distinct_users,
+    "event_type_dict": q_event_type_dict,
+    "vocab": q_vocab,
+    "length_filter": q_length_filter,
+    "resample_probs": q_resample_probs,
+    "upsample": q_upsample,
+    "doc_stats": q_doc_stats,
+    "exact_dedup": q_exact_dedup,
+    "shingles": q_shingles,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_dups": q_simhash_dups,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "entity_spans": q_entity_spans,
+    "mention_cooccur": q_mention_cooccur,
+    "bm25_retrieval": q_bm25_retrieval,
+    "cosine_topk": q_cosine_topk,
+    "embedding_label_centroids": q_embedding_label_centroids,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": ORACLE_PRICING,
+    "top_orders_per_cust": ORACLE_TOP_ORDERS,
+    "revenue_by_region": ORACLE_REVENUE_REGION,
+    "customers_without_orders": ORACLE_NO_ORDERS,
+    "corpus_union": ORACLE_UNION,
+    "top_revenue_orders": ORACLE_TOP_REVENUE,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "event_gaps": ORACLE_EVENT_GAPS,
+    "sessionize": ORACLE_SESSIONIZE,
+    "distinct_users": ORACLE_DISTINCT_USERS,
+    "event_type_dict": ORACLE_EVENT_DICT,
+    "vocab": ORACLE_VOCAB,
+    "length_filter": ORACLE_LENGTH_FILTER,
+    "resample_probs": ORACLE_RESAMPLE,
+    "upsample": ORACLE_UPSAMPLE,
+    "doc_stats": ORACLE_DOC_STATS,
+    "exact_dedup": ORACLE_EXACT_DEDUP,
+    "shingles": ORACLE_SHINGLES,
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    # minhash_lsh, simhash_dups: rows-only (engine-specific hashes)
+    "token_counts": ORACLE_TOKEN_COUNTS,
+    "lang_id": ORACLE_LANG_ID,
+    "quality": ORACLE_QUALITY,
+    "fingerprint": ORACLE_FINGERPRINT,
+    "entity_spans": ORACLE_ENTITY_SPANS,
+    "mention_cooccur": ORACLE_MENTION_COOCCUR,
+    "bm25_retrieval": ORACLE_BM25,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "embedding_label_centroids": ORACLE_CENTROIDS,
+}
