@@ -21,11 +21,34 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 20
+    edges: DataFrame, max_iters: int = 20, local_threshold: int = 2_000_000
 ) -> DataFrame:
     """edges(src, dst) undirected -> (node, component) with component = the
     lexicographically smallest node in the component (matches the oracle
-    kgner.linkops.connected_components)."""
+    kgner.linkops.connected_components).
+
+    Hybrid strategy: alias/redirect graphs are DIMENSION-sized (~10^7-10^8
+    edges for all of Wikipedia — far below corpus scale), so when the edge
+    count is under `local_threshold` we run union-find on the driver in one
+    pass instead of paying O(diameter) Spark jobs of pure scheduling latency.
+    Above the threshold, distributed min-label propagation (below) takes
+    over unchanged. Both produce identical (node, component) output.
+    """
+    n_edges = edges.limit(local_threshold + 1).count()
+    if n_edges <= local_threshold:
+        from kgner.linkops import connected_components as uf
+
+        rows = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
+        comp = uf(rows)
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            sorted(comp.items()), "node string, component string"
+        )
+    return _cc_distributed(edges, max_iters)
+
+
+def _cc_distributed(edges: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Distributed min-label propagation (used above local_threshold)."""
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

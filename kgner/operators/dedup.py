@@ -75,7 +75,11 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """-> (doc_a, doc_b, jaccard) pairs with doc_a < doc_b, jaccard >= t."""
-    sh = shingle_df(docs, n, id_col, text_col)
+    # Materialize the exploded shingle frame ONCE (localCheckpoint truncates
+    # lineage and is reused by all five consumers below — without it the
+    # regex shingle explosion recomputes per consumer: sizes, freq, and both
+    # sides of the self-join).
+    sh = shingle_df(docs, n, id_col, text_col).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # blocking: drop shingles too frequent to be discriminative (skew guard)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -165,8 +169,15 @@ def minhash_lsh_pairs(
             ]
         )
     )
-    banded = sigs.select("doc_id", "sig", band_cols.alias("bb")).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    banded = (
+        sigs.select("doc_id", "sig", band_cols.alias("bb"))
+        .select(
+            "doc_id",
+            "sig",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+        .localCheckpoint(eager=False)  # one materialization for both join sides
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -239,18 +250,26 @@ def simhash_near_pairs(
         for i in range(4)
     ]
     banded = sh.select("doc_id", "simhash", *bands)
-    banded = banded.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), F.col(f"band{i}").alias("key"))
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = (
+        banded.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"), F.col(f"band{i}").alias("key")
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(
+            "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        .localCheckpoint(eager=False)  # one materialization for both join sides
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

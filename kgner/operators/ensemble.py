@@ -52,6 +52,14 @@ def decode_spans_udf(tags: pd.Series) -> pd.Series:
     )
 
 
+@pandas_udf(ArrayType(StringType()))
+def iobes_udf(tags: pd.Series) -> pd.Series:
+    """IOB2 -> IOBES conversion (flair/data.py:1144-1164), vectorized."""
+    from kgner.spanops import iob_to_iobes
+
+    return pd.Series([iob_to_iobes(list(t) if t is not None else []) for t in tags])
+
+
 def decode_predictions(predictions: DataFrame) -> DataFrame:
     """model_predictions(model_id, url, sent_id, tags) -> one row per span."""
     return predictions.select(

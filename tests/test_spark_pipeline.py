@@ -120,6 +120,19 @@ def test_bm25_topk_matches_oracle(spark, tables, fx):
         assert got_ids == want_ids, (qid, got_ids, want_ids)
 
 
+def test_cc_distributed_matches_local(spark, tables):
+    """The distributed min-label-propagation CC must equal driver union-find."""
+    from kgner.linkops import connected_components as uf
+    from kgner.operators.canonicalize import _cc_distributed
+
+    edges = alias_edges(tables["kb_pages"], tables["redirects"])
+    dist = {
+        r["node"]: r["component"] for r in _cc_distributed(edges).collect()
+    }
+    local = uf([(r["src"], r["dst"]) for r in edges.collect()])
+    assert dist == local
+
+
 def test_canonicalize_handles_chain_and_cycle(spark, tables, fx):
     edges = alias_edges(tables["kb_pages"], tables["redirects"])
     canon = canonical_map(edges, tables["kb_pages"].select("title"))
