@@ -218,6 +218,18 @@ WHERE rn <= 10
 # Events: window/sequence/sessionization (W family + date functions)
 # --------------------------------------------------------------------------
 
+def _ntz_epoch(col):
+    """Seconds since epoch for a TIMESTAMP_NTZ, built from field extraction
+    only — unlike unix_timestamp, independent of the session timezone (the
+    driver's session may not be UTC; DST would otherwise skew gaps)."""
+    return (
+        F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("long") * 86400
+        + F.hour(col).cast("long") * 3600
+        + F.minute(col).cast("long") * 60
+        + F.second(col).cast("long")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Date-trunc grouped agg (metrics layer)."""
     e = _t(spark, sf_dir, "events")
@@ -242,7 +254,7 @@ def q_event_gaps(spark, sf_dir):
     """W-1 family: lag window — per-user gap to previous event."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    sec = F.unix_timestamp(F.col("ts"))
+    sec = _ntz_epoch(F.col("ts"))
     return (
         e.withColumn("prev_event_id", F.lag("event_id").over(w).cast("long"))
         .withColumn("prev_sec", F.lag(sec).over(w))
@@ -271,7 +283,7 @@ def q_sessionize(spark, sf_dir):
     expressed as batch windows (SURVEY §2.J: reference is batch-only)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    sec = F.unix_timestamp(F.col("ts"))
+    sec = _ntz_epoch(F.col("ts"))
     newsess = (
         (sec - F.lag(sec).over(w)) > 1800
     ).cast("long")

@@ -1,0 +1,57 @@
+"""Physical-plan regression guards: the scale properties we rely on must be
+visible in the plan — filters pushed to the scan, dimensions broadcast, no
+sort-merge joins in the retrieval path, no Python in JVM-only operators."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    from kgner.queries import QUERIES
+
+    plan = _plan(QUERIES["pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # projection pruned: html-free read schema, only the used columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_dimension_joins_broadcast(spark):
+    from kgner.queries import QUERIES
+
+    plan = _plan(QUERIES["revenue_by_region"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_no_sort_merge_join(spark):
+    from kgner.queries import QUERIES
+
+    plan = _plan(QUERIES["bm25_retrieval"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_jvm_only_operators_have_no_python(spark):
+    from kgner.queries import QUERIES
+
+    for name in ["quality", "lang_id", "token_counts", "sessionize", "cosine_topk"]:
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Python" not in plan, name
+
+
+def test_mentions_stage_is_map_only(spark, tables):
+    """detect_mentions must add no shuffle beyond its input."""
+    from kgner.functions.text import pages_to_sentences
+    from kgner.operators.mentions import detect_mentions
+
+    sents = pages_to_sentences(tables["pages"].select("url", "lang", "html"))
+    aliases = spark.createDataFrame(
+        [("zq", "ZQ")], "alias_norm string, canonical_id string"
+    )
+    plan = _plan(detect_mentions(spark, sents, aliases))
+    assert "Exchange" not in plan  # map-only: scan -> UDFs -> scan-out
