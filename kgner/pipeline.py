@@ -141,6 +141,36 @@ class Pipeline:
             ),
         )
 
+    def stage_retrievals(self) -> None:
+        """Optional retrieval + context assembly (SURVEY §3.2): sentence
+        queries against the KB postings, 510-subtoken context budget."""
+        if self._done("retrievals"):
+            self.skipped.append("retrievals")
+            return
+        from kgner.operators.context import assemble_context
+        from kgner.operators.kbbuild import kb_index
+        from kgner.operators.retrieval import bm25_topk
+
+        kb_sents = self._read("kb_sentences")
+        postings, docs = kb_index(kb_sents)
+        sents = self._read("sentences")
+        queries = sents.select(
+            F.xxhash64("url", "sent_id").alias("query_id"),
+            F.transform("tokens", lambda t: F.lower(t)).alias("tokens"),
+        )
+        retr = bm25_topk(queries, postings, docs, k=10)
+        aug = assemble_context(
+            queries.join(
+                sents.select(
+                    F.xxhash64("url", "sent_id").alias("query_id"), "sentence"
+                ),
+                "query_id",
+            ).select("query_id", "sentence"),
+            retr.select("query_id", "rank", "sentence"),
+            budget=510,
+        )
+        self._write("retrievals", aug)
+
     def stage_triples(self) -> None:
         if self._done("triples"):
             self.skipped.append("triples")
@@ -162,5 +192,7 @@ class Pipeline:
         self.stage_kb()
         self.stage_canonical()
         self.stage_mentions()
+        if "retrievals" in self.cfg.stages:
+            self.stage_retrievals()
         self.stage_triples()
         return self._read("triples")

@@ -194,6 +194,35 @@ def viterbi_decode(emissions: np.ndarray, transitions: np.ndarray) -> list[int]:
     return path
 
 
+def forward_backward(
+    emissions: np.ndarray, transitions: np.ndarray
+) -> np.ndarray:
+    """Posterior marginals p(tag_t = k | x) via forward-backward in log space
+    (flair/models/sequence_tagger_model.py:1182-1192,1329-1486). Returns
+    (T, K) probabilities; rows sum to 1."""
+    T, K = emissions.shape
+    START, STOP = K, K + 1
+    trans = transitions[:K, :K]
+
+    def lse(a, axis):
+        m = np.max(a, axis=axis, keepdims=True)
+        return (m + np.log(np.sum(np.exp(a - m), axis=axis, keepdims=True))).squeeze(
+            axis
+        )
+
+    fwd = np.zeros((T, K))
+    fwd[0] = transitions[START, :K] + emissions[0]
+    for t in range(1, T):
+        fwd[t] = emissions[t] + lse(fwd[t - 1][:, None] + trans, axis=0)
+    bwd = np.zeros((T, K))
+    bwd[T - 1] = transitions[:K, STOP]
+    for t in range(T - 2, -1, -1):
+        bwd[t] = lse(trans + (emissions[t + 1] + bwd[t + 1])[None, :], axis=1)
+    log_post = fwd + bwd
+    log_post -= lse(log_post, axis=1)[:, None]
+    return np.exp(log_post)
+
+
 def viterbi_decode_batch(
     emissions_list: list[np.ndarray], transitions: np.ndarray
 ) -> list[list[int]]:
