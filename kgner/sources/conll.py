@@ -26,6 +26,7 @@ def read_conll(
     path: str,
     column_format: dict[int, str] | None = None,
     comment_prefix: str = "# id",
+    drop_docstart: bool = False,
 ) -> DataFrame:
     """-> (file, sent_id, tokens array<string>, <layer> array<string>...).
 
@@ -59,7 +60,18 @@ def read_conll(
         .groupBy("file", "sent_id")
         .agg(*aggs)
     )
-    return grouped.withColumnRenamed(cols[0], "tokens") if cols[0] != "tokens" else grouped
+    out = (
+        grouped.withColumnRenamed(cols[0], "tokens")
+        if cols[0] != "tokens"
+        else grouped
+    )
+    if drop_docstart:
+        # P-16: drop -DOCSTART- pseudo-sentences
+        # (/root/reference/flair/trainers/finetune_trainer.py:124-147)
+        out = out.filter(
+            F.element_at(F.col("tokens"), 1) != F.lit("-DOCSTART-")
+        )
+    return out
 
 
 def write_conll_lines(
