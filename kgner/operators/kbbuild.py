@@ -112,6 +112,16 @@ def write_postings_bucketed(
     At 10^12 docs the postings table is the big side, so this converts the
     retrieval join's dominant shuffle into a bucket-local read.
     """
+    spark = postings.sparkSession
+    # an in-memory catalog forgets tables across sessions but the warehouse
+    # directory survives — clear both so overwrite is idempotent
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    import shutil
+    from urllib.parse import urlparse
+
+    loc = urlparse(warehouse).path or warehouse
+    shutil.rmtree(f"{loc.rstrip('/')}/{table_name.lower()}", ignore_errors=True)
     (
         postings.write.mode("overwrite")
         .bucketBy(n_buckets, "term")
