@@ -333,6 +333,25 @@ SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
 """
 
 
+def q_props_parse(spark, sf_dir):
+    """§2.H json parsing (json.loads of kb records -> from_json/get_json_object):
+    extract props.k, aggregate per event_type."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+    )
+
+
+ORACLE_PROPS = """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(CASE WHEN json_extract(props, '$.k') IS NOT NULL THEN 1 END) AS n_with_k
+FROM events GROUP BY 1
+"""
+
+
 def q_event_type_dict(spark, sf_dir):
     """A-4: tag dictionary (distinct values + deterministic index)."""
     e = _t(spark, sf_dir, "events")
@@ -1294,6 +1313,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "distinct_users": q_distinct_users,
     "event_type_dict": q_event_type_dict,
+    "props_parse": q_props_parse,
     "vocab": q_vocab,
     "length_filter": q_length_filter,
     "resample_probs": q_resample_probs,
@@ -1334,6 +1354,7 @@ ORACLES: dict[str, str] = {
     "sessionize": ORACLE_SESSIONIZE,
     "distinct_users": ORACLE_DISTINCT_USERS,
     "event_type_dict": ORACLE_EVENT_DICT,
+    "props_parse": ORACLE_PROPS,
     "vocab": ORACLE_VOCAB,
     "length_filter": ORACLE_LENGTH_FILTER,
     "resample_probs": ORACLE_RESAMPLE,
