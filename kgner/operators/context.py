@@ -67,7 +67,6 @@ def assemble_context(
         sent_key,
         "sentence",
         F.col("acc.kept").alias("contexts"),
-        F.concat_ws(f" {EOS} ", F.concat_ws("", F.col("sentence")), *[]).alias("_s"),
         F.col("acc.used").alias("used_subtokens"),
     ).select(
         sent_key,
