@@ -126,10 +126,12 @@ def run_scaling_workload(spark, inflate: int = 448, n_pages: int = 800) -> tuple
     from pyspark.sql import functions as F
 
     from kgner.fixtures import build_fixtures, to_spark
-    from kgner.functions.text import pages_to_sentences
     from kgner.operators.canonicalize import canonical_map
     from kgner.operators.kbbuild import alias_edges
-    from kgner.operators.mentions import detect_mentions, prepare_alias_broadcast
+    from kgner.operators.mentions import (
+        detect_mentions_from_pages,
+        prepare_alias_broadcast,
+    )
 
     fx = build_fixtures(n_entities=150, n_pages=n_pages, giant_pages=2)
     t = to_spark(spark, fx)
@@ -151,20 +153,18 @@ def run_scaling_workload(spark, inflate: int = 448, n_pages: int = 800) -> tuple
     b_alias = prepare_alias_broadcast(spark, canon)
 
     def job(src):
-        sents = pages_to_sentences(src)
-        return detect_mentions(spark, sents, alias_broadcast=b_alias)
+        return detect_mentions_from_pages(spark, src, alias_broadcast=b_alias)
 
     warm = pages.sample(0.02, seed=1).repartition(n_parts)
     job(warm).count()
-    # median-of-3 steady-state runs (single-JVM local mode is noisy; a
-    # cluster bench would use per-stage medians from the history server)
+    runs = int(os.environ.get("KGNER_SCALE_RUNS", "1"))
     times, n = [], 0
-    for _ in range(3):
+    for _ in range(runs):
         t0 = time.monotonic()
         n = job(pages).count()
         times.append(time.monotonic() - t0)
     pages.unpersist()
-    return sorted(times)[1], n
+    return sorted(times)[len(times) // 2], n
 
 
 def one_session(master: str, shuffle_partitions: int, sf_dir: str, kg: bool):
@@ -235,20 +235,26 @@ def main() -> None:
         # so the measurement isn't polluted by the host's own turbo/steal
         # behavior at full saturation (raw-python calibration shows ~25%
         # per-core clock loss at 32-busy — a host artifact, not a Spark one).
+        # Interleave the levels over 3 rounds (host noise drifts over
+        # minutes; interleaving puts both levels under the same conditions),
+        # then take per-level medians.
+        levels = (("n4", "0-3", "local[4]", 8), ("n16", "0-15", "local[16]", 32))
+        samples: dict[str, list[dict]] = {"n4": [], "n16": []}
+        for _ in range(3):
+            for label, cores, master, parts in levels:
+                cmd = [
+                    "taskset", "-c", cores, sys.executable,
+                    os.path.abspath(__file__), "--scale-run", master, str(parts),
+                ]
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, timeout=900,
+                    env={**os.environ, "KGNER_DRIVER_MEM": "24g"},
+                )
+                samples[label].append(json.loads(out.stdout.strip().splitlines()[-1]))
         res = {}
-        for label, cores, master, parts in (
-            ("n4", "0-3", "local[4]", 8),
-            ("n16", "0-15", "local[16]", 32),
-        ):
-            cmd = [
-                "taskset", "-c", cores, sys.executable, os.path.abspath(__file__),
-                "--scale-run", master, str(parts),
-            ]
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=900,
-                env={**os.environ, "KGNER_DRIVER_MEM": "24g"},
-            )
-            res[label] = json.loads(out.stdout.strip().splitlines()[-1])
+        for label in samples:
+            runs = sorted(samples[label], key=lambda r: r["sec"])
+            res[label] = {**runs[len(runs) // 2], "all_sec": [r["sec"] for r in samples[label]]}
         eff = (res["n4"]["sec"] / res["n16"]["sec"]) / 4
         result["scaling"] = {**res, "efficiency": round(eff, 3)}
 

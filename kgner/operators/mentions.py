@@ -84,6 +84,56 @@ def detect_mentions(
     )
 
 
+def detect_mentions_from_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    aliases: DataFrame | None = None,
+    alias_broadcast=None,
+) -> DataFrame:
+    """FUSED hot path: pages(url, lang, html) -> mentions, in ONE Python eval.
+
+    Composes the same pure functions as the staged path (extract_text ->
+    split_sentences -> tokenize -> match_aliases) inside a single
+    mapInPandas, so the full sentences/tokens intermediate never crosses the
+    JVM<->Arrow boundary. Identical output to
+    detect_mentions(with_sentences(extracted)) — parity-tested — but one
+    worker process per task and ~3x less serialization. Use this when the
+    intermediate tables don't need to be materialized (the staged pipeline
+    keeps them for resume + the byte-identity checkpoint).
+    """
+    from kgner.textops import extract_text, split_sentences, tokenize
+
+    b_idx = alias_broadcast or prepare_alias_broadcast(spark, aliases)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx, ml = b_idx.value
+        for pdf in batches:
+            urls, sids, starts, ends, texts, ents = [], [], [], [], [], []
+            for url, lang, html in zip(pdf["url"], pdf["lang"], pdf["html"]):
+                text = extract_text(bytes(html) if html is not None else b"")
+                for sid, sent in enumerate(split_sentences(text, lang or "en")):
+                    toks = tokenize(sent)
+                    for s, e, canon in match_aliases(toks, idx, ml):
+                        urls.append(url)
+                        sids.append(sid)
+                        starts.append(s)
+                        ends.append(e)
+                        texts.append(" ".join(toks[s:e]))
+                        ents.append(canon)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "sent_id": pd.Series(sids, dtype="int32"),
+                    "start": pd.Series(starts, dtype="int32"),
+                    "end": pd.Series(ends, dtype="int32"),
+                    "text": pd.Series(texts, dtype="object"),
+                    "entity_id": pd.Series(ents, dtype="object"),
+                }
+            )
+
+    return pages.select("url", "lang", "html").mapInPandas(scan, MENTIONS_SCHEMA)
+
+
 def mentions_by_join(
     sentences: DataFrame, aliases: DataFrame, max_ngram: int = 4
 ) -> DataFrame:
