@@ -51,10 +51,16 @@ class Pipeline:
         pages: DataFrame,
         kb_pages: DataFrame,
         redirects: DataFrame,
+        model_predictions: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
-        self.inputs = {"pages": pages, "kb_pages": kb_pages, "redirects": redirects}
+        self.inputs = {
+            "pages": pages,
+            "kb_pages": kb_pages,
+            "redirects": redirects,
+            "model_predictions": model_predictions,
+        }
         self.lineage = LineageLog(cfg.workdir)
         self.skipped: list[str] = []
         self.ran: list[str] = []
@@ -171,20 +177,35 @@ class Pipeline:
         )
         self._write("retrievals", aug)
 
+    def stage_ensemble(self) -> None:
+        """Optional: majority-vote ensembling of external model predictions
+        (SURVEY §3.3) — runs only when model_predictions input is given."""
+        if self.inputs["model_predictions"] is None:
+            return
+        if self._done("ensembled"):
+            self.skipped.append("ensembled")
+            return
+        from kgner.operators.ensemble import ensemble_votes
+
+        self._write("ensembled", ensemble_votes(self.inputs["model_predictions"]))
+
     def stage_triples(self) -> None:
         if self._done("triples"):
             self.skipped.append("triples")
             return
         from kgner.operators.triples import all_triples
 
-        self._write(
-            "triples",
-            all_triples(
-                self._read("mentions"),
-                self._read("kb_sentences"),
-                self._read("canonical"),
-            ),
+        out = all_triples(
+            self._read("mentions"),
+            self._read("kb_sentences"),
+            self._read("canonical"),
         )
+        # bucket(subj) partition-transform stand-in (SURVEY §7.1): downstream
+        # graph queries co-locate by subject
+        out = out.withColumn(
+            "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(16)).cast("int")
+        )
+        self._write("triples", out, partition_by=["subj_bucket"])
 
     def run(self) -> DataFrame:
         self.stage_extracted()
@@ -194,5 +215,6 @@ class Pipeline:
         self.stage_mentions()
         if "retrievals" in self.cfg.stages:
             self.stage_retrievals()
+        self.stage_ensemble()
         self.stage_triples()
         return self._read("triples")

@@ -50,6 +50,30 @@ def test_pipeline_runs_and_resumes(spark, tmp_path):
     assert t3.count() == n1
 
 
+def test_pipeline_ensemble_stage(spark, tmp_path):
+    """model_predictions input -> ensembled table appears and matches gold."""
+    from kgner.fixtures import build_fixtures, to_spark
+    from kgner.pipeline import Pipeline, PipelineConfig
+
+    fx = build_fixtures(n_entities=12, n_pages=20, giant_pages=0)
+    t = to_spark(spark, fx)
+    cfg = PipelineConfig(workdir=str(tmp_path / "we"))
+    pipe = Pipeline(
+        spark, cfg, t["pages"], t["kb_pages"], t["redirects"],
+        model_predictions=t["model_predictions"],
+    )
+    pipe.run()
+    ens = spark.read.parquet(str(tmp_path / "we" / "ensembled"))
+    gold = {
+        (m["url"], m["sent_id"], m["start"], m["end"])
+        for m in fx.gold_mentions
+    }
+    got = {
+        (r["url"], r["sent_id"], r["start"], r["end"]) for r in ens.collect()
+    }
+    assert len(gold & got) / max(len(gold), 1) >= 0.99
+
+
 def test_pipeline_salted_same_output(spark, tmp_path):
     """Salted repartition (skew guard) must not change results."""
     a, _ = _mk(spark, str(tmp_path / "a"), salt=0)
