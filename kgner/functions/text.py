@@ -36,7 +36,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     Reference analogue: the wikipedia2vec/LMDB text extraction consumed by
     /root/reference/kb/parse_text.py:34-45 — here a pinned pure function.
     """
-    return html.map(textops.extract_text)
+    return html.map(lambda h: textops.extract_text(h if h is not None else b""))
 
 
 _SENT_TYPE = ArrayType(

@@ -109,8 +109,11 @@ def canonical_map(
             F.coalesce("title_rep", "node_rep").alias("canonical_id"),
         )
     )
+    # case-variant nodes in different components can collide after lower();
+    # min(canonical_id) makes the winner deterministic (oracle matches)
     return (
         comp.join(rep, "component")
         .select(F.lower(F.col("node")).alias("alias_norm"), "canonical_id")
-        .dropDuplicates(["alias_norm"])
+        .groupBy("alias_norm")
+        .agg(F.min("canonical_id").alias("canonical_id"))
     )

@@ -80,14 +80,18 @@ def ngram_jaccard_pairs(
     # regex shingle explosion recomputes per consumer: sizes, freq, and both
     # sides of the self-join).
     sh = shingle_df(docs, n, id_col, text_col).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # blocking: drop shingles too frequent to be discriminative (skew guard)
+    # blocking: drop shingles too frequent to be discriminative (skew guard).
+    # Sizes are computed on the SAME filtered set as the intersection — i.e.
+    # Jaccard over the discriminative-shingle space (stopword-removal
+    # semantics) — else boilerplate-heavy duplicates would be missed because
+    # inter shrinks while na/nb stay full.
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sh_b = sh.join(
         F.broadcast(freq.filter(F.col("df") > max_shingle_df).select("shingle")),
         "shingle",
         "left_anti",
-    )
+    ).localCheckpoint(eager=False)
+    sizes = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh_b.alias("a")
     b = sh_b.alias("b")
     inter = (
@@ -296,15 +300,24 @@ def simhash_near_pairs(
 
 def dedup_keep_min(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Resolve near-dup pairs into survivors: connected components over the
-    pair graph (min-id representative), then anti-join losers out."""
+    pair graph; the NUMERICALLY smallest doc id per cluster survives.
+
+    Ids are zero-padded before CC (CC representatives are lexicographic
+    minima — '10' < '9' as strings would survive over 9 otherwise), then the
+    keeper is recomputed numerically per component.
+    """
     from kgner.operators.canonicalize import connected_components
 
-    edges = pairs.select(
-        F.col("doc_a").cast("string").alias("src"),
-        F.col("doc_b").cast("string").alias("dst"),
-    )
+    pad = F.lpad(F.col("doc_a").cast("string"), 20, "0")
+    pad_b = F.lpad(F.col("doc_b").cast("string"), 20, "0")
+    edges = pairs.select(pad.alias("src"), pad_b.alias("dst"))
     comp = connected_components(edges)
-    losers = comp.filter(F.col("node") != F.col("component")).select(
-        F.col("node").cast("long").alias(id_col)
+    keep = comp.groupBy("component").agg(
+        F.min(F.col("node").cast("long")).alias("keep_id")
+    )
+    losers = (
+        comp.join(keep, "component")
+        .filter(F.col("node").cast("long") != F.col("keep_id"))
+        .select(F.col("node").cast("long").alias(id_col))
     )
     return docs.join(losers, id_col, "left_anti")

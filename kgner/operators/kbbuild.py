@@ -30,24 +30,31 @@ def kb_sentences(kb_pages: DataFrame) -> DataFrame:
     dropped per (title, paragraph text) BEFORE sentence split (P-2), and
     out-of-range anchors are clamped away (parse_text.py:64-68 semantics).
     """
+    from pyspark.sql.window import Window
+
+    paras = kb_pages.select(
+        "title",
+        "lang",
+        F.posexplode("paragraphs").alias("p_id", "para"),
+    ).select(
+        "title",
+        "lang",
+        "p_id",
+        F.col("para.text").alias("paragraph"),
+        F.filter(
+            "para.anchors",
+            lambda a: (a["start"] >= 0)
+            & (a["start"] < F.length(F.col("para.text"))),
+        ).alias("anchors"),
+    )
+    # dedup keeps the MIN p_id occurrence (dropDuplicates keeps an arbitrary
+    # row, which would make doc_id = xxhash64(title, p_id, s_id) partition-
+    # order dependent and break the deterministic retrieval tiebreak)
+    w = Window.partitionBy("title", "paragraph").orderBy(F.col("p_id").asc())
     paras = (
-        kb_pages.select(
-            "title",
-            "lang",
-            F.posexplode("paragraphs").alias("p_id", "para"),
-        )
-        .select(
-            "title",
-            "lang",
-            "p_id",
-            F.col("para.text").alias("paragraph"),
-            F.filter(
-                "para.anchors",
-                lambda a: (a["start"] >= 0)
-                & (a["start"] < F.length(F.col("para.text"))),
-            ).alias("anchors"),
-        )
-        .dropDuplicates(["title", "paragraph"])
+        paras.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
     )
     return paras.select(
         "title",

@@ -135,15 +135,22 @@ def detect_mentions_from_pages(
 
 
 def mentions_by_join(
-    sentences: DataFrame, aliases: DataFrame, max_ngram: int = 4
+    sentences: DataFrame, aliases: DataFrame, max_ngram: int | None = None
 ) -> DataFrame:
     """Join-based fallback (the literal J-3 shape): explode candidate n-grams,
     equi-join on lowercase span text. Correct but shuffles O(n * max_ngram)
     candidate rows — used when the alias table cannot broadcast.
 
-    Overlaps are resolved longest-first-then-leftmost per sentence, matching
-    the greedy scan on non-pathological gazetteers.
+    max_ngram defaults to the LONGEST alias in the table (a fixed cap would
+    silently never match longer aliases); overlaps are resolved
+    longest-first-then-leftmost per sentence, matching the greedy scan on
+    non-pathological gazetteers.
     """
+    if max_ngram is None:
+        row = aliases.agg(
+            F.max(F.size(F.split(F.col("alias_norm"), " "))).alias("m")
+        ).collect()[0]
+        max_ngram = int(row["m"] or 1)
     cands = None
     toks = F.col("tokens")
     for ln in range(1, max_ngram + 1):

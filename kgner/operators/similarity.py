@@ -127,22 +127,53 @@ def cosine_near_dup_pairs(
     dim: int,
     threshold: float = 0.95,
     planes: int = 6,
+    bands: int = 4,
     vec_id: str = "vec_id",
     vcol: str = "embedding",
 ) -> DataFrame:
-    """All-pairs near-dup via LSH blocking + exact cosine verify.
+    """All-pairs near-dup via multi-band LSH blocking + exact cosine verify.
 
     -> (vec_a, vec_b, cosine) with vec_a < vec_b, cosine >= threshold.
+
+    Recall math: at cosine c, a single hyperplane disagrees with prob
+    θ/π (θ = arccos c), so one band of `planes` bits catches a pair with
+    p = (1-θ/π)^planes. A SINGLE band misses ~47% of 0.95-cosine pairs at
+    planes=6; OR-ing `bands` independent bands (disjoint plane ids) lifts
+    recall to 1-(1-p)^bands ≈ 0.92 at the defaults. Cost scales linearly in
+    bands; candidates verified by exact cosine either way so precision is
+    unaffected.
     """
-    vb = lsh_bucket(vectors.select(vec_id, F.col(vcol).alias("__v")), dim, planes, "__v")
-    a, b = vb.alias("a"), vb.alias("b")
-    cands = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{vec_id}") < F.col(f"b.{vec_id}")),
-    ).select(
-        F.col(f"a.{vec_id}").alias("vec_a"),
-        F.col(f"b.{vec_id}").alias("vec_b"),
-        cosine_col(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+    src = vectors.select(vec_id, F.col(vcol).alias("__v"))
+    banded = None
+    for band in range(bands):
+        bits = [
+            _hyperplane_sign(F.col("__v"), band * planes + p, dim)
+            for p in range(planes)
+        ]
+        acc = F.lit(band * (1 << planes))  # disjoint bucket spaces per band
+        for i, bcol in enumerate(bits):
+            acc = acc + bcol * F.lit(1 << i)
+        one = src.withColumn("bucket", acc)
+        banded = one if banded is None else banded.unionByName(one)
+    banded = banded.localCheckpoint(eager=False)
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{vec_id}") < F.col(f"b.{vec_id}")),
+        )
+        .select(
+            F.col(f"a.{vec_id}").alias("vec_a"),
+            F.col(f"b.{vec_id}").alias("vec_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_col(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
     )
     return cands.filter(F.col("cosine") >= threshold)

@@ -28,13 +28,20 @@ def build_canonical_map(fx_kb_pages: list[dict], redirects: list[dict]) -> dict[
     for node, rep in comp.items():
         by_comp.setdefault(rep, []).append(node)
     out: dict[str, str] = {}
+
+    def put(key: str, canon: str) -> None:
+        # case-collisions across components resolve to min(canonical_id),
+        # matching kgner.operators.canonicalize.canonical_map
+        if key not in out or canon < out[key]:
+            out[key] = canon
+
     for rep, members in by_comp.items():
         in_titles = sorted(m for m in members if m in titles)
         canon = in_titles[0] if in_titles else min(members)
         for m in members:
-            out[m.lower()] = canon
+            put(m.lower(), canon)
     for t in titles:
-        out.setdefault(t.lower(), t)
+        put(t.lower(), out.get(t.lower(), t))
     return out
 
 

@@ -208,13 +208,28 @@ class Pipeline:
         self._write("triples", out, partition_by=["subj_bucket"])
 
     def run(self) -> DataFrame:
-        self.stage_extracted()
-        self.stage_sentences()
-        self.stage_kb()
-        self.stage_canonical()
-        self.stage_mentions()
-        if "retrievals" in self.cfg.stages:
-            self.stage_retrievals()
-        self.stage_ensemble()
-        self.stage_triples()
-        return self._read("triples")
+        """Run the configured stages in dependency order.
+
+        cfg.stages selects WHICH stages run ("retrievals"/"ensembled" are the
+        optional ones; the default list is the core path). Dependencies are
+        not auto-added: selecting a stage whose upstream table is neither
+        selected nor already committed fails at read time — intentional, so a
+        resume never silently recomputes an upstream with different inputs.
+        """
+        order = [
+            ("extracted", self.stage_extracted),
+            ("sentences", self.stage_sentences),
+            ("kb_sentences", self.stage_kb),
+            ("canonical", self.stage_canonical),
+            ("mentions", self.stage_mentions),
+            ("retrievals", self.stage_retrievals),
+            ("ensembled", self.stage_ensemble),
+            ("triples", self.stage_triples),
+        ]
+        selected = set(self.cfg.stages) | {"ensembled"}  # ensemble self-gates
+        for name, fn in order:
+            if name in selected:
+                fn()
+        if "triples" in selected or io.is_committed(self.cfg.workdir, "triples"):
+            return self._read("triples")
+        return None

@@ -541,9 +541,9 @@ WITH d AS (
            ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)] END
          )) AS shingle
   FROM t
-), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+), freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
 shb AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM freq)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shb GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM shb a JOIN shb b ON a.shingle = b.shingle AND a.doc_id < b.doc_id

@@ -128,15 +128,16 @@ def majority_vote(
 ) -> list[Span]:
     """Greedy non-overlapping span selection (ensemble_prediction.py:399-416).
 
-    Sort candidates by (span length desc, votes desc, start asc) — the
-    reference sorts by length then count (`:404-405`); we add `start` as a
-    deterministic final tiebreak. Accept a span iff votes >= ratio*n_models
-    and it does not overlap an already-accepted span.
+    The reference applies two STABLE sorts — by length desc (`:404`), then by
+    votes desc (`:405`) — so the effective order is votes desc PRIMARY,
+    length desc secondary; we add `start` as a deterministic final tiebreak.
+    Accept a span iff votes >= ratio*n_models and it does not overlap an
+    already-accepted span.
     """
     thresh = threshold_ratio * n_models
     chosen: list[Span] = []
     cand = sorted(
-        span_votes.items(), key=lambda kv: (-(kv[0][1] - kv[0][0]), -kv[1], kv[0][0])
+        span_votes.items(), key=lambda kv: (-kv[1], -(kv[0][1] - kv[0][0]), kv[0][0])
     )
     for (s, e, lbl), votes in cand:
         if votes < thresh:

@@ -37,15 +37,16 @@ _BLOCK_TAG_RE = re.compile(
     re.IGNORECASE,
 )
 _TAG_RE = re.compile(r"<[^>]+>")
-_ENTITIES = {
-    "&amp;": "&",
-    "&lt;": "<",
-    "&gt;": ">",
-    "&quot;": '"',
-    "&#39;": "'",
-    "&apos;": "'",
-    "&nbsp;": " ",
-}
+# decode &amp; LAST or '&amp;lt;' would double-unescape to '<' instead of '&lt;'
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&apos;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
 _WS_RUN_RE = re.compile(r"[ \t\r\f\v]+")
 _NL_RUN_RE = re.compile(r"\n{2,}")
 
@@ -65,7 +66,7 @@ def extract_text(html: bytes | str) -> str:
     raw = _SCRIPT_STYLE_RE.sub(" ", raw)
     raw = _BLOCK_TAG_RE.sub("\n", raw)
     raw = _TAG_RE.sub("", raw)
-    for ent, ch in _ENTITIES.items():
+    for ent, ch in _ENTITIES:
         raw = raw.replace(ent, ch)
     raw = _WS_RUN_RE.sub(" ", raw)
     lines = [ln.strip() for ln in raw.split("\n")]
