@@ -1216,6 +1216,67 @@ FROM state WHERE idx = 3
 """
 
 
+def q_crf_spans(spark, sf_dir):
+    """M-4/M-5/W-1: the ML-inference path through the driver contract —
+    emission projection + numpy CRF Viterbi (mapInPandas) + span decode.
+
+    Emissions are engineered from the gazetteer (B-ENT at run starts, I-ENT
+    inside) so the decoded spans provably equal the gaps-and-islands SQL
+    oracle — i.e. the CRF plumbing is verified by DuckDB even though no SQL
+    engine can run a CRF."""
+    import numpy as np
+
+    from kgner.operators.ensemble import decode_spans_udf
+    from kgner.operators.inference import tag_with_crf
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    sents = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).cast("int").alias("sent_id"),
+        toks.alias("tokens"),
+        F.size(toks).alias("subtoken_len"),
+    )
+    gaz = set(GAZ)
+    tagset = ["O", "B-ENT", "I-ENT"]
+    dim = 3
+
+    def embed(tokens):
+        out = np.zeros((len(tokens), dim))
+        prev_gaz = False
+        for i, t in enumerate(tokens):
+            is_gaz = t in gaz
+            out[i, 1 if (is_gaz and not prev_gaz) else (2 if is_gaz else 0)] = 5.0
+            prev_gaz = is_gaz
+        return out
+
+    w = np.eye(dim)
+    transitions = np.zeros((dim + 2, dim + 2))
+    transitions[0, 2] = -10.0  # O -> I-ENT forbidden
+    transitions[dim, 2] = -10.0  # START -> I-ENT forbidden
+    tagged = tag_with_crf(sents, w, transitions, tagset, embed_fn=embed)
+    spans = tagged.join(
+        sents.select("url", "sent_id", "tokens"), ["url", "sent_id"]
+    ).select(
+        F.col("url").cast("long").alias("doc_id"),
+        "tokens",
+        F.explode(decode_spans_udf(F.col("tags"))).alias("span"),
+    )
+    return spans.select(
+        "doc_id",
+        (F.col("span.start") + 1).cast("long").alias("start_pos"),
+        (F.col("span.end") - F.col("span.start")).cast("long").alias("span_len"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("tokens"),
+                F.col("span.start") + 1,
+                F.col("span.end") - F.col("span.start"),
+            ),
+        ).alias("span_text"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -1338,6 +1399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_head": q_stratified_head,
     "approx_distinct": q_approx_distinct,
     "context_assembly": q_context_assembly,
+    "crf_spans": q_crf_spans,
     "cosine_topk": q_cosine_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
 }
@@ -1378,6 +1440,7 @@ ORACLES: dict[str, str] = {
     "stratified_head": ORACLE_STRATIFIED,
     # approx_distinct: rows-only (HLL sketch values are engine-specific)
     "context_assembly": ORACLE_CONTEXT,
+    "crf_spans": ORACLE_ENTITY_SPANS,  # engineered emissions == gazetteer islands
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_label_centroids": ORACLE_CENTROIDS,
 }
