@@ -49,7 +49,9 @@ def bm25_rank(
         return []
     avg_len = sum(doc_lens.values()) / n_docs
     scores: dict[int, float] = {}
-    for term in query_terms:
+    # each unique query term scores once (the ES match query and the Spark
+    # path's array_distinct both dedupe repeated tokens)
+    for term in dict.fromkeys(query_terms):
         plist = postings.get(term)
         if not plist:
             continue

@@ -34,11 +34,15 @@ def connected_components(
     Above the threshold, distributed min-label propagation (below) takes
     over unchanged. Both produce identical (node, component) output.
     """
-    n_edges = edges.limit(local_threshold + 1).count()
-    if n_edges <= local_threshold:
+    # single bounded collect doubles as the size probe (<= threshold) and the
+    # input to driver union-find — no separate count job
+    rows = [
+        (r[0], r[1])
+        for r in edges.select("src", "dst").limit(local_threshold + 1).collect()
+    ]
+    if len(rows) <= local_threshold:
         from kgner.linkops import connected_components as uf
 
-        rows = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
         comp = uf(rows)
         spark = edges.sparkSession
         return spark.createDataFrame(
@@ -61,6 +65,7 @@ def _cc_distributed(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         F.min("dst").alias("component")
     )
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         # propagate: candidate label via neighbors' labels
         neigh = (
@@ -81,7 +86,15 @@ def _cc_distributed(edges: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # returning partial labels would silently split entities across
+        # components — fail loudly; callers raise max_iters for deep chains
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations"
+            " — graph diameter exceeds max_iters; raise max_iters"
+        )
     return labels
 
 

@@ -302,22 +302,37 @@ def dedup_keep_min(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
     """Resolve near-dup pairs into survivors: connected components over the
     pair graph; the NUMERICALLY smallest doc id per cluster survives.
 
-    Ids are zero-padded before CC (CC representatives are lexicographic
-    minima — '10' < '9' as strings would survive over 9 otherwise), then the
-    keeper is recomputed numerically per component.
+    Ids are offset to unsigned and zero-padded before CC (CC representatives
+    are lexicographic minima — '10' < '9' as strings, and a bare lpad of a
+    negative id like '-5' would not even round-trip), then the keeper is
+    recomputed numerically per component. Valid for the full signed-64 id
+    range (xxhash64-derived ids are negative ~half the time).
     """
     from kgner.operators.canonicalize import connected_components
 
-    pad = F.lpad(F.col("doc_a").cast("string"), 20, "0")
-    pad_b = F.lpad(F.col("doc_b").cast("string"), 20, "0")
-    edges = pairs.select(pad.alias("src"), pad_b.alias("dst"))
-    comp = connected_components(edges)
-    keep = comp.groupBy("component").agg(
-        F.min(F.col("node").cast("long")).alias("keep_id")
+    # 2^63 exceeds the JVM long range py4j can pass — ship it as a string
+    offset20 = F.lit("9223372036854775808").cast("decimal(20,0)")
+    offset21 = F.lit("9223372036854775808").cast("decimal(21,0)")
+
+    def enc(col):
+        return F.lpad(
+            (col.cast("decimal(20,0)") + offset20)
+            .cast("decimal(20,0)")
+            .cast("string"),
+            20,
+            "0",
+        )
+
+    dec = (F.col("node").cast("decimal(21,0)") - offset21).cast("long")
+    edges = pairs.select(
+        enc(F.col("doc_a")).alias("src"), enc(F.col("doc_b")).alias("dst")
     )
+    comp = connected_components(edges)
+    nodes = comp.select("component", dec.alias("id"))
+    keep = nodes.groupBy("component").agg(F.min("id").alias("keep_id"))
     losers = (
-        comp.join(keep, "component")
-        .filter(F.col("node").cast("long") != F.col("keep_id"))
-        .select(F.col("node").cast("long").alias(id_col))
+        nodes.join(keep, "component")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias(id_col))
     )
     return docs.join(losers, id_col, "left_anti")

@@ -168,8 +168,10 @@ def mentions_by_join(
             .withColumn("end", F.col("start") + ln)
         )
         cands = c if cands is None else cands.unionByName(c)
+    # no broadcast hint: this path exists for alias tables too large to
+    # broadcast — let Catalyst pick broadcast vs shuffle-hash from stats
     joined = cands.join(
-        F.broadcast(aliases.select(F.col("alias_norm"), "canonical_id")),
+        aliases.select(F.col("alias_norm"), "canonical_id"),
         F.lower(F.col("text")) == F.col("alias_norm"),
     ).select("url", "sent_id", "start", "end", "text",
              F.col("canonical_id").alias("entity_id"))

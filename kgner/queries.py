@@ -713,21 +713,7 @@ def q_entity_spans(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
-    gaz = F.array(*[F.lit(g) for g in GAZ])
-    tags = F.transform(
-        toks,
-        lambda t, i: F.when(
-            ~F.array_contains(gaz, t), F.lit("O")
-        ).otherwise(
-            F.when(
-                (i == 0)
-                | ~F.coalesce(
-                    F.array_contains(gaz, F.get(toks, i - 1)), F.lit(False)
-                ),
-                "B-ENT",
-            ).otherwise("I-ENT")
-        ),
-    )
+    tags = _gaz_bio_tags(toks)
     spans = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         toks.alias("toks"),
@@ -956,8 +942,12 @@ def q_bm25_entity_boost(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
     doc_toks = d.select(F.col("doc_id"), F.explode(toks).alias("term"))
-    postings = doc_toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    lens = doc_toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    postings = (
+        doc_toks.groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # one tokenize+explode for all consumers
+    )
+    lens = postings.groupBy("doc_id").agg(F.sum("tf").alias("len"))
     stats = lens.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len"))
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     queries = d.filter(F.col("doc_id") < 5).select(

@@ -52,7 +52,15 @@ def stream_mention_counts(
             .agg(F.count(F.lit(1)).alias("n"))
             .withColumn("batch_id", F.lit(batch_id))
         )
-        counts.write.mode("append").parquet(out_dir)
+        # idempotent per batch_id: a replayed micro-batch (sink completed but
+        # checkpoint commit didn't) dynamically overwrites ITS OWN partition
+        # instead of appending a duplicate
+        (
+            counts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     return (
         mentions.writeStream.foreachBatch(sink)

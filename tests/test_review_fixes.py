@@ -42,6 +42,23 @@ def test_dedup_keep_min_numeric(spark):
     assert kept == [9, 123]  # numeric min survives, not lexicographic '10'
 
 
+def test_dedup_keep_min_negative_ids(spark):
+    """xxhash64-derived ids are negative ~half the time; the signed-64 range
+    must dedup correctly (numeric min survives)."""
+    from kgner.operators.dedup import dedup_keep_min
+
+    lo = -(1 << 62)
+    docs = spark.createDataFrame(
+        [(-5, "x"), (7, "x"), (lo, "y"), (lo + 1, "y"), (3, "z")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(-5, 7), (lo, lo + 1)], "doc_a long, doc_b long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_keep_min(docs, pairs).collect())
+    assert kept == [lo, -5, 3]
+
+
 def test_canonical_case_collision_deterministic(spark):
     from kgner.operators.canonicalize import canonical_map
 
