@@ -1206,6 +1206,32 @@ FROM state WHERE idx = 3
 """
 
 
+def q_pattern_flags(spark, sf_dir):
+    """Curation: pattern-flagging pass (emails / urls / long digit runs —
+    the PII-ish signals a training-data pipeline screens for). JVM regex
+    only; counts per doc."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^\s]+"
+    digits = r"[0-9]{6,}"
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(email), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(url), 0)).cast("long").alias("n_urls"),
+        F.size(F.regexp_extract_all(t, F.lit(digits), 0)).cast("long").alias("n_digit_runs"),
+    )
+
+
+ORACLE_PATTERN_FLAGS = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs
+FROM documents
+"""
+
+
 def q_crf_spans(spark, sf_dir):
     """M-4/M-5/W-1: the ML-inference path through the driver contract —
     emission projection + numpy CRF Viterbi (mapInPandas) + span decode.
@@ -1390,6 +1416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "context_assembly": q_context_assembly,
     "crf_spans": q_crf_spans,
+    "pattern_flags": q_pattern_flags,
     "cosine_topk": q_cosine_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
 }
@@ -1431,6 +1458,7 @@ ORACLES: dict[str, str] = {
     # approx_distinct: rows-only (HLL sketch values are engine-specific)
     "context_assembly": ORACLE_CONTEXT,
     "crf_spans": ORACLE_ENTITY_SPANS,  # engineered emissions == gazetteer islands
+    "pattern_flags": ORACLE_PATTERN_FLAGS,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_label_centroids": ORACLE_CENTROIDS,
 }
