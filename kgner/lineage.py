@@ -25,6 +25,8 @@ class StageRecord:
     wall_ms: int
     status: str
     run_id: str
+    inputs: tuple[str, ...] = ()  # upstream stages/tables; rows_in of this
+    # stage = rows_out of each input's record (stages are table-to-table)
 
 
 class LineageLog:
@@ -39,7 +41,7 @@ class LineageLog:
             json.dump(asdict(rec), f)
 
     def observed_write(
-        self, stage: str, df: DataFrame, write_fn
+        self, stage: str, df: DataFrame, write_fn, inputs: tuple[str, ...] = ()
     ) -> None:
         """Run write_fn(df_with_observation); capture row count + wall time."""
         obs = Observation(f"lineage_{stage}")
@@ -47,7 +49,7 @@ class LineageLog:
         write_fn(df.observe(obs, F.count(F.lit(1)).alias("rows")))
         wall = int((time.monotonic() - t0) * 1000)
         rows = int(obs.get.get("rows", 0))
-        self.record(StageRecord(stage, rows, wall, "ok", self.run_id))
+        self.record(StageRecord(stage, rows, wall, "ok", self.run_id, inputs))
 
     def read_all(self) -> list[dict]:
         out = []

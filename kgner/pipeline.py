@@ -72,11 +72,14 @@ class Pipeline:
     def _read(self, name: str) -> DataFrame:
         return io.read_table(self.spark, self.cfg.workdir, name)
 
-    def _write(self, name: str, df: DataFrame, partition_by=None) -> None:
+    def _write(
+        self, name: str, df: DataFrame, partition_by=None, inputs: tuple = ()
+    ) -> None:
         self.lineage.observed_write(
             name,
             df,
             lambda d: io.write_table(d, self.cfg.workdir, name, partition_by),
+            inputs=inputs,
         )
         self.ran.append(name)
 
@@ -103,7 +106,7 @@ class Pipeline:
         # partition by ingest day (the parquet stand-in for Iceberg
         # days(warc_ts) partition transform)
         out = out.withColumn("warc_day", F.to_date("warc_ts"))
-        self._write("extracted", out, partition_by=["warc_day"])
+        self._write("extracted", out, partition_by=["warc_day"], inputs=("pages",))
 
     def stage_sentences(self) -> None:
         if self._done("sentences"):
@@ -111,7 +114,11 @@ class Pipeline:
             return
         from kgner.functions.text import with_sentences
 
-        self._write("sentences", with_sentences(self._read("extracted")))
+        self._write(
+            "sentences",
+            with_sentences(self._read("extracted")),
+            inputs=("extracted",),
+        )
 
     def stage_kb(self) -> None:
         if self._done("kb_sentences"):
@@ -119,7 +126,11 @@ class Pipeline:
             return
         from kgner.operators.kbbuild import kb_sentences
 
-        self._write("kb_sentences", kb_sentences(self.inputs["kb_pages"]))
+        self._write(
+            "kb_sentences",
+            kb_sentences(self.inputs["kb_pages"]),
+            inputs=("kb_pages",),
+        )
 
     def stage_canonical(self) -> None:
         if self._done("canonical"):
@@ -132,6 +143,7 @@ class Pipeline:
         self._write(
             "canonical",
             canonical_map(edges, self.inputs["kb_pages"].select("title")),
+            inputs=("kb_pages", "redirects"),
         )
 
     def stage_mentions(self) -> None:
@@ -145,6 +157,7 @@ class Pipeline:
             detect_mentions(
                 self.spark, self._read("sentences"), self._read("canonical")
             ),
+            inputs=("sentences", "canonical"),
         )
 
     def stage_retrievals(self) -> None:
@@ -175,7 +188,7 @@ class Pipeline:
             retr.select("query_id", "rank", "sentence"),
             budget=510,
         )
-        self._write("retrievals", aug)
+        self._write("retrievals", aug, inputs=("sentences", "kb_sentences"))
 
     def stage_ensemble(self) -> None:
         """Optional: majority-vote ensembling of external model predictions
@@ -187,7 +200,11 @@ class Pipeline:
             return
         from kgner.operators.ensemble import ensemble_votes
 
-        self._write("ensembled", ensemble_votes(self.inputs["model_predictions"]))
+        self._write(
+            "ensembled",
+            ensemble_votes(self.inputs["model_predictions"]),
+            inputs=("model_predictions",),
+        )
 
     def stage_triples(self) -> None:
         if self._done("triples"):
@@ -205,7 +222,12 @@ class Pipeline:
         out = out.withColumn(
             "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(16)).cast("int")
         )
-        self._write("triples", out, partition_by=["subj_bucket"])
+        self._write(
+            "triples",
+            out,
+            partition_by=["subj_bucket"],
+            inputs=("mentions", "kb_sentences", "canonical"),
+        )
 
     def run(self) -> DataFrame:
         """Run the configured stages in dependency order.

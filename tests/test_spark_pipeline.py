@@ -65,9 +65,16 @@ def test_e2e_triples_match_oracle(spark, tables, fx):
 
 
 def test_ensemble_recovers_gold_spans(spark, tables):
+    """MultiCoNER-F1 parity proxy (BASELINE.md): per-label AND micro span-F1
+    of the 5-model majority-vote ensemble vs gold across the 6 MultiCoNER
+    label classes (PER/LOC/GRP/CORP/PROD/CW)."""
     ens = ensemble_votes(tables["model_predictions"])
     gold = tables["gold_mentions"].select("url", "sent_id", "start", "end", "label")
     metrics = span_f1(gold, ens)
+    rows = metrics.collect()
+    assert len(rows) == 6, [r["label"] for r in rows]  # all 6 label classes
+    for r in rows:
+        assert r["f1"] >= 0.95, (r["label"], r["f1"])
     micro = metrics.agg(
         F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
     ).collect()[0]
