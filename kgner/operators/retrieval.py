@@ -40,12 +40,21 @@ def bm25_topk(
     k: int = 10,
     boost_entities: DataFrame | None = None,
     title_boost: float = 2.0,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """-> retrievals(query_id, rank, doc_id, score, sentence, title, url).
 
     queries: (query_id, tokens array<string>) — tokens already lowercased.
     boost_entities: optional (query_id, entity string) rows; adds the
     reference's entity->title boost clause (generate_data.py:52-55).
+
+    max_df_ratio: THE web-scale knob. Query terms whose document frequency
+    exceeds this fraction of the corpus are dropped BEFORE the postings join
+    (a query containing "the" would otherwise join ~n_docs posting rows per
+    occurrence — at 10^12 docs one stopword dominates the shuffle while
+    contributing ~zero score, since idf(df~N) ~ 0). This is the common-terms
+    cutoff ES historically applied for the same reason. None = exact BM25
+    over all terms (the oracle-checked default).
     """
     # Single derivation chain: df and corpus stats both come from `postings`
     # (one scan of the index; at cluster scale postings is a bucketed table,
@@ -60,6 +69,15 @@ def bm25_topk(
     qterms = queries.select(
         "query_id", F.explode(F.array_distinct("tokens")).alias("term")
     )
+    if max_df_ratio is not None:
+        # broadcast the DROP set (over-frequent terms — tiny: stopwords),
+        # never the keep set (≈ the whole vocabulary)
+        drop = doc_freq.crossJoin(F.broadcast(stats.select("n_docs"))).filter(
+            F.col("df") > F.col("n_docs") * max_df_ratio
+        )
+        qterms = qterms.join(
+            F.broadcast(drop.select("term")), "term", "left_anti"
+        )
     # distinct terms per query: BM25 sums each matched term once per doc with
     # the doc-side tf (the ES match query sums per unique query term).
     scored = (

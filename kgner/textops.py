@@ -51,12 +51,17 @@ _WS_RUN_RE = re.compile(r"[ \t\r\f\v]+")
 _NL_RUN_RE = re.compile(r"\n{2,}")
 
 
-def extract_text(html: bytes | str) -> str:
+def extract_text(html: bytes | str, max_chars: int | None = None) -> str:
     """Deterministic html -> text. Byte-identical across runs/platforms.
 
     Block-level tags become newlines, inline tags vanish, a fixed entity set
     is decoded, whitespace runs collapse. No external parser => no version
     drift (north_rule per-row invariant).
+
+    max_chars: giant-page guard — truncate the EXTRACTED text to this many
+    chars (applied after extraction so the cut point is content-stable, not
+    markup-dependent). The same parameter value must be used on the oracle
+    side for the byte-identity invariant to hold, which tests enforce.
     """
     if isinstance(html, (bytes, bytearray)):
         raw = bytes(html).decode("utf-8", errors="replace")
@@ -71,6 +76,8 @@ def extract_text(html: bytes | str) -> str:
     raw = _WS_RUN_RE.sub(" ", raw)
     lines = [ln.strip() for ln in raw.split("\n")]
     out = "\n".join(ln for ln in lines if ln)
+    if max_chars is not None and len(out) > max_chars:
+        out = out[:max_chars]
     return out
 
 
