@@ -1,0 +1,64 @@
+"""Sequence chunking + document grouping operators.
+
+- chunk_by_subtokens: split over-budget token sequences into chunks
+  (reference: chunk_sentence, /root/reference/flair/data.py:704-715 and the
+  EOS-chunked inference path flair/trainers/distillation_trainer.py:675-690).
+  JVM-side: a sequence of chunk indices -> slice -> posexplode; no Python.
+- assign_doc_ids: group sentences into documents by boundary markers
+  (reference: -DOCSTART- doc assignment,
+  /root/reference/flair/trainers/distillation_trainer.py:655-674): cumulative
+  sum of the boundary flag over a per-file window, then doc_pos numbering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def chunk_by_subtokens(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "tokens",
+    id_cols: tuple[str, ...] = ("url", "sent_id"),
+) -> DataFrame:
+    """Explode rows whose token count exceeds `budget` into consecutive
+    chunks of at most `budget` tokens; adds (chunk_id, chunk_tokens).
+
+    Order within the original row is preserved by chunk_id; rows within
+    budget come through as a single chunk 0 — so downstream inference UDFs
+    see bounded inputs regardless of input length (M-2 window semantics with
+    stride = budget; overlapping strides are a parameter away if needed).
+    """
+    toks = F.col(tokens_col)
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(budget)).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * budget + 1, budget),
+    )
+    return df.select(
+        *id_cols,
+        F.posexplode(chunks).alias("chunk_id", "chunk_tokens"),
+    )
+
+
+def assign_doc_ids(
+    sentences: DataFrame,
+    boundary_col: str = "is_docstart",
+    file_col: str = "file",
+    order_col: str = "sent_id",
+) -> DataFrame:
+    """Add doc_id (cumulative boundary count per file) and doc_pos (position
+    of the sentence inside its document, 0-based, boundaries excluded)."""
+    w = Window.partitionBy(file_col).orderBy(order_col)
+    out = sentences.withColumn(
+        "doc_id", F.sum(F.col(boundary_col).cast("int")).over(w)
+    )
+    wd = Window.partitionBy(file_col, "doc_id").orderBy(order_col)
+    return (
+        out.filter(~F.col(boundary_col))
+        .withColumn("doc_pos", F.row_number().over(wd) - 1)
+    )

@@ -190,6 +190,33 @@ class Pipeline:
         )
         self._write("retrievals", aug, inputs=("sentences", "kb_sentences"))
 
+    def stage_retrievals2(self) -> None:
+        """Optional second retrieval round (SURVEY §3.3 / README.md:83-88):
+        stage-1 mentions become per-sentence entity boosts for an
+        entity-boosted re-retrieval — the reference's --with_entity pass."""
+        if self._done("retrievals2"):
+            self.skipped.append("retrievals2")
+            return
+        from kgner.operators.kbbuild import kb_index
+        from kgner.operators.retrieval import bm25_topk
+
+        kb_sents = self._read("kb_sentences")
+        postings, docs = kb_index(kb_sents)
+        sents = self._read("sentences")
+        queries = sents.select(
+            F.xxhash64("url", "sent_id").alias("query_id"),
+            F.transform("tokens", lambda t: F.lower(t)).alias("tokens"),
+        )
+        boosts = self._read("mentions").select(
+            F.xxhash64("url", "sent_id").alias("query_id"),
+            F.col("entity_id").alias("entity"),
+        ).distinct()
+        self._write(
+            "retrievals2",
+            bm25_topk(queries, postings, docs, k=10, boost_entities=boosts),
+            inputs=("sentences", "kb_sentences", "mentions"),
+        )
+
     def stage_ensemble(self) -> None:
         """Optional: majority-vote ensembling of external model predictions
         (SURVEY §3.3) — runs only when model_predictions input is given."""
@@ -245,6 +272,7 @@ class Pipeline:
             ("canonical", self.stage_canonical),
             ("mentions", self.stage_mentions),
             ("retrievals", self.stage_retrievals),
+            ("retrievals2", self.stage_retrievals2),
             ("ensembled", self.stage_ensemble),
             ("triples", self.stage_triples),
         ]
