@@ -26,6 +26,12 @@ DISTRACTORS = (
     "garden winter bridge letter window forest number animal circle "
     "island memory shadow dream temple valley harbor signal"
 ).split()
+# real CJK distractor tokens for zh pages (exercise the CJK sentence rule
+# and non-latin byte-identity end-to-end; still whitespace-tokenized)
+DISTRACTORS_ZH = (
+    "河流 石头 光线 云朵 市场 故事 音乐 银色 道路 花园 冬天 桥梁 信件 窗户 "
+    "森林 数字 动物 圆圈 岛屿 记忆 影子 梦想 寺庙 山谷 港口 信号"
+).split()
 ZH_TERM = "。"  # 。
 
 
@@ -170,8 +176,9 @@ def build_fixtures(
         para_sents: list[list[str]] = [[]]
         page_entities_by_sent: list[set[str]] = []
         sent_id = 0
+        vocab = DISTRACTORS_ZH if lang == "zh" else DISTRACTORS
         for _ in range(n_sents):
-            toks = [rng.choice(DISTRACTORS) for _ in range(rng.randint(5, 14))]
+            toks = [rng.choice(vocab) for _ in range(rng.randint(5, 14))]
             ents_here: set[str] = set()
             n_ments = 0
             if rng.random() < 0.6:
