@@ -68,11 +68,16 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         t0 = time.monotonic()
         _materialize(QUERIES[name](spark, sf_dir))
         sec = time.monotonic() - t0
-        if sec > 8.0:  # re-run probable outliers (single-JVM disk/GC noise
-            # can inflate one sample 3-5x); report the better of two
-            t0 = time.monotonic()
-            _materialize(QUERIES[name](spark, sf_dir))
-            sec = min(sec, time.monotonic() - t0)
+        if sec > 8.0:
+            # probable outlier (single-JVM disk/GC noise inflates one sample
+            # 3-5x): take TWO more samples and report the MEDIAN of three —
+            # a min would be one-sidedly biased by cache-warm re-runs
+            samples = [sec]
+            for _ in range(2):
+                t0 = time.monotonic()
+                _materialize(QUERIES[name](spark, sf_dir))
+                samples.append(time.monotonic() - t0)
+            sec = sorted(samples)[1]
         out[name] = round(sec, 3)
     return out
 

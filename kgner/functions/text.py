@@ -39,6 +39,23 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(lambda h: textops.extract_text(h if h is not None else b""))
 
 
+def make_extract_text_udf(max_chars: int | None):
+    """Factory variant with the giant-page cap plumbed in (the oracle must be
+    given the SAME max_chars for the byte-identity invariant to hold)."""
+    if max_chars is None:
+        return extract_text_udf
+
+    @pandas_udf(StringType())
+    def capped(html: pd.Series) -> pd.Series:
+        return html.map(
+            lambda h: textops.extract_text(
+                h if h is not None else b"", max_chars=max_chars
+            )
+        )
+
+    return capped
+
+
 _SENT_TYPE = ArrayType(
     StructType(
         [

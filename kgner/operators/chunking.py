@@ -21,10 +21,10 @@ def chunk_by_subtokens(
     df: DataFrame,
     budget: int,
     tokens_col: str = "tokens",
-    id_cols: tuple[str, ...] = ("url", "sent_id"),
 ) -> DataFrame:
     """Explode rows whose token count exceeds `budget` into consecutive
-    chunks of at most `budget` tokens; adds (chunk_id, chunk_tokens).
+    chunks of at most `budget` tokens: every non-token column passes through
+    unchanged and (chunk_id, chunk_tokens) are added.
 
     Order within the original row is preserved by chunk_id; rows within
     budget come through as a single chunk 0 — so downstream inference UDFs
@@ -39,8 +39,10 @@ def chunk_by_subtokens(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(toks, i * budget + 1, budget),
     )
+    # keep every non-token column (callers' labels/lang/etc. survive)
+    passthrough = [c for c in df.columns if c != tokens_col]
     return df.select(
-        *id_cols,
+        *passthrough,
         F.posexplode(chunks).alias("chunk_id", "chunk_tokens"),
     )
 

@@ -41,9 +41,9 @@ def stratified_sample(
     M = 1_000_000
     frac = None
     for stratum, p in sorted(fractions.items()):
-        cond = F.when(F.col(stratum_col) == stratum, F.lit(int(p * M)))
-        frac = cond if frac is None else frac.when(
-            F.col(stratum_col) == stratum, F.lit(int(p * M))
+        thresh = F.lit(round(p * M))  # round, not truncate (0.29*1e6 == 290000)
+        frac = (F.when if frac is None else frac.when)(
+            F.col(stratum_col) == stratum, thresh
         )
     frac = frac.otherwise(F.lit(0)) if frac is not None else F.lit(0)
     h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(M))

@@ -30,6 +30,7 @@ from kgner.lineage import LineageLog
 class PipelineConfig:
     workdir: str
     salt_buckets: int = 0  # >0: salted repartition on domain hash (skew guard)
+    max_text_chars: int | None = None  # giant-page cap (oracle-symmetric)
     resume: bool = True
     stages: list[str] = field(
         default_factory=lambda: [
@@ -88,8 +89,9 @@ class Pipeline:
         if self._done("extracted"):
             self.skipped.append("extracted")
             return
-        from kgner.functions.text import extract_text_udf
+        from kgner.functions.text import make_extract_text_udf
 
+        extract_text_udf = make_extract_text_udf(self.cfg.max_text_chars)
         pages = self.inputs["pages"]
         if self.cfg.salt_buckets > 0:
             # salted repartition on domain hash: hot domains spread over
@@ -160,15 +162,11 @@ class Pipeline:
             inputs=("sentences", "canonical"),
         )
 
-    def stage_retrievals(self) -> None:
-        """Optional retrieval + context assembly (SURVEY §3.2): sentence
-        queries against the KB postings, 510-subtoken context budget."""
-        if self._done("retrievals"):
-            self.skipped.append("retrievals")
-            return
-        from kgner.operators.context import assemble_context
+    def _retrieval_inputs(self):
+        """Shared setup for both retrieval rounds: (queries, postings, docs).
+        One definition so the two stages can't drift, and the plans are
+        identical (Spark reuses the exchange when both run in one job)."""
         from kgner.operators.kbbuild import kb_index
-        from kgner.operators.retrieval import bm25_topk
 
         kb_sents = self._read("kb_sentences")
         postings, docs = kb_index(kb_sents)
@@ -177,6 +175,19 @@ class Pipeline:
             F.xxhash64("url", "sent_id").alias("query_id"),
             F.transform("tokens", lambda t: F.lower(t)).alias("tokens"),
         )
+        return queries, postings, docs
+
+    def stage_retrievals(self) -> None:
+        """Optional retrieval + context assembly (SURVEY §3.2): sentence
+        queries against the KB postings, 510-subtoken context budget."""
+        if self._done("retrievals"):
+            self.skipped.append("retrievals")
+            return
+        from kgner.operators.context import assemble_context
+        from kgner.operators.retrieval import bm25_topk
+
+        queries, postings, docs = self._retrieval_inputs()
+        sents = self._read("sentences")
         retr = bm25_topk(queries, postings, docs, k=10)
         aug = assemble_context(
             queries.join(
@@ -197,16 +208,9 @@ class Pipeline:
         if self._done("retrievals2"):
             self.skipped.append("retrievals2")
             return
-        from kgner.operators.kbbuild import kb_index
         from kgner.operators.retrieval import bm25_topk
 
-        kb_sents = self._read("kb_sentences")
-        postings, docs = kb_index(kb_sents)
-        sents = self._read("sentences")
-        queries = sents.select(
-            F.xxhash64("url", "sent_id").alias("query_id"),
-            F.transform("tokens", lambda t: F.lower(t)).alias("tokens"),
-        )
+        queries, postings, docs = self._retrieval_inputs()
         boosts = self._read("mentions").select(
             F.xxhash64("url", "sent_id").alias("query_id"),
             F.col("entity_id").alias("entity"),
