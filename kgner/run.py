@@ -22,6 +22,13 @@ def main() -> None:
     ap.add_argument("--redirects")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--salt-buckets", type=int, default=0)
+    ap.add_argument(
+        "--stages",
+        default=None,
+        help="comma list of stages to run (default: the core path; "
+        "add retrievals/retrievals2 for the context/iterative rounds)",
+    )
+    ap.add_argument("--max-text-chars", type=int, default=None)
     args = ap.parse_args()
 
     from kgner.pipeline import Pipeline, PipelineConfig
@@ -42,7 +49,10 @@ def main() -> None:
         workdir=args.workdir,
         resume=not args.no_resume,
         salt_buckets=args.salt_buckets,
+        max_text_chars=args.max_text_chars,
     )
+    if args.stages:
+        cfg.stages = [s.strip() for s in args.stages.split(",") if s.strip()]
     pipe = Pipeline(spark, cfg, pages, kb_pages, redirects)
     triples = pipe.run()
     print(
