@@ -46,6 +46,18 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _clear_persisted(spark) -> None:
+    """Unpersist leftover cached/localCheckpointed RDDs between queries so
+    earlier queries' checkpoint blocks don't squeeze later ones."""
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in list(jmap.values()):
+            rdd.unpersist()
+    except Exception:
+        pass
+    spark.catalog.clearCache()
+
+
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from pyspark.sql import functions as F
 
@@ -65,6 +77,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     out: dict[str, float] = {}
     for name in HEADLINE:
+        _clear_persisted(spark)
         t0 = time.monotonic()
         _materialize(QUERIES[name](spark, sf_dir))
         sec = time.monotonic() - t0
