@@ -81,6 +81,7 @@ class Pipeline:
             df,
             lambda d: io.write_table(d, self.cfg.workdir, name, partition_by),
             inputs=inputs,
+            table_dir=io.table_path(self.cfg.workdir, name),
         )
         self.ran.append(name)
 

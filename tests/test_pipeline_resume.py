@@ -28,11 +28,15 @@ def test_pipeline_runs_and_resumes(spark, tmp_path):
         "mentions",
         "triples",
     ]
-    # lineage recorded per stage with row counts
+    # lineage recorded per stage with row counts + per-partition breakdown
     lin = {r["stage"]: r for r in pipe.lineage.read_all()}
     assert set(lin) == set(pipe.ran)
     assert lin["triples"]["rows_out"] == n1
     assert all(r["wall_ms"] >= 0 for r in lin.values())
+    for stage in pipe.ran:
+        parts = lin[stage]["partitions"]
+        assert parts and sum(parts.values()) == lin[stage]["rows_out"], stage
+    assert lin["mentions"]["inputs"] == ["sentences", "canonical"]
 
     # full resume: everything skipped, identical output
     pipe2, _ = _mk(spark, wd)
