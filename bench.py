@@ -87,6 +87,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
             # a min would be one-sidedly biased by cache-warm re-runs
             samples = [sec]
             for _ in range(2):
+                _clear_persisted(spark)  # same hygiene as the outer loop
                 t0 = time.monotonic()
                 _materialize(QUERIES[name](spark, sf_dir))
                 samples.append(time.monotonic() - t0)

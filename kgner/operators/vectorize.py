@@ -27,24 +27,28 @@ def tfidf_vectors(
     idf = ln(1 + N/df) over the hashed feature space; tf = in-doc count.
     With l2_normalize the output plugs straight into cosine similarity.
     """
+    from kgner.functions.text import tokens_col
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
     ).withColumn("feat", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int"))
 
     n_docs = docs.count()
+    # ONE tokenize+explode: tf is the only shuffle over raw tokens;
+    # per-feature df derives from tf's (already grouped) output.
+    tf = (
+        toks.groupBy("doc_id", "feat")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_feat = (
-        toks.select("doc_id", "feat")
-        .distinct()
-        .groupBy("feat")
+        tf.groupBy("feat")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("idf", F.log(1.0 + F.lit(float(n_docs)) / F.col("df")))
     )
-    weights = (
-        toks.groupBy("doc_id", "feat")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .join(F.broadcast(df_feat), "feat")
-        .withColumn("w", F.col("tf") * F.col("idf"))
+    weights = tf.join(F.broadcast(df_feat), "feat").withColumn(
+        "w", F.col("tf") * F.col("idf")
     )
     # assemble dense array: map feat->w, then read positions 0..dim-1
     assembled = weights.groupBy("doc_id").agg(
@@ -65,4 +69,11 @@ def tfidf_vectors(
             "vector",
             F.transform("vector", lambda x: x / F.greatest(norm, F.lit(1e-12))),
         )
-    return out
+    # docs with NULL/empty text get an explicit zero vector (silently losing
+    # ids would skew downstream joins and dedup decisions)
+    zero = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda _: F.lit(0.0))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(out, "doc_id", "left")
+        .withColumn("vector", F.coalesce("vector", zero))
+    )

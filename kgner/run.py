@@ -12,6 +12,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# `python kgner/run.py` puts kgner/ itself (not its parent) on sys.path;
+# spark-submit ships the zip instead — support both invocations
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -53,12 +59,22 @@ def main() -> None:
     )
     if args.stages:
         cfg.stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    valid = {
+        "extracted", "sentences", "kb_sentences", "canonical",
+        "mentions", "retrievals", "retrievals2", "ensembled", "triples",
+    }
+    unknown = set(cfg.stages) - valid
+    if unknown:
+        raise SystemExit(
+            f"unknown stage(s) {sorted(unknown)}; valid: {sorted(valid)}"
+        )
+
     pipe = Pipeline(spark, cfg, pages, kb_pages, redirects)
     triples = pipe.run()
     print(
         json.dumps(
             {
-                "triples": triples.count(),
+                "triples": triples.count() if triples is not None else None,
                 "ran": pipe.ran,
                 "skipped": pipe.skipped,
                 "lineage": pipe.lineage.read_all(),

@@ -48,11 +48,14 @@ def parse_warc_bytes(blob: bytes) -> list[tuple[str, dt.datetime, bytes]]:
             key, _, val = line.partition(":")
             if val:
                 headers[key.strip().lower()] = val.strip()
-        try:
-            length = int(headers.get("content-length", "0"))
-        except ValueError:
-            length = 0
         body_start = hdr_end + len(_SEP)
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            # malformed/missing length: skip this record without emitting a
+            # fabricated empty page; resume scanning from the body start
+            pos = body_start
+            continue
         body = blob[body_start : body_start + length]
         pos = body_start + length
         if headers.get("warc-type") != "response":
@@ -60,7 +63,9 @@ def parse_warc_bytes(blob: bytes) -> list[tuple[str, dt.datetime, bytes]]:
         url = headers.get("warc-target-uri", "")
         ts_raw = headers.get("warc-date", "1970-01-01T00:00:00Z")
         try:
-            ts = dt.datetime.strptime(ts_raw, "%Y-%m-%dT%H:%M:%SZ")
+            # WARC 1.0/1.1 dates: optional fractional seconds, Z or offset
+            ts = dt.datetime.fromisoformat(ts_raw.replace("Z", "+00:00"))
+            ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
         except ValueError:
             ts = dt.datetime(1970, 1, 1)
         # strip the HTTP response header block if present
@@ -97,7 +102,19 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     with no skew beyond file size variance.
     """
 
+    CHUNK = 2000  # records per yielded batch — bounds per-task memory even
+    # though binaryFile delivers a whole (possibly GB) file as one input row
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def flush(urls, tss, bodies):
+            return pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "warc_ts": pd.Series(tss, dtype="datetime64[us]"),
+                    "html": pd.Series(bodies, dtype="object"),
+                }
+            )
+
         for pdf in batches:
             urls, tss, bodies = [], [], []
             for content in pdf["content"]:
@@ -105,13 +122,11 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     urls.append(url)
                     tss.append(ts)
                     bodies.append(body)
-            yield pd.DataFrame(
-                {
-                    "url": pd.Series(urls, dtype="object"),
-                    "warc_ts": pd.Series(tss, dtype="datetime64[us]"),
-                    "html": pd.Series(bodies, dtype="object"),
-                }
-            )
+                    if len(urls) >= CHUNK:
+                        yield flush(urls, tss, bodies)
+                        urls, tss, bodies = [], [], []
+            if urls:
+                yield flush(urls, tss, bodies)
 
     return (
         spark.read.format("binaryFile")

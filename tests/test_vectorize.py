@@ -39,3 +39,14 @@ def test_tfidf_feeds_cosine_near_dup(spark):
         for r in cosine_near_dup_pairs(vecs, dim=64, threshold=0.99).collect()
     }
     assert (100, 101) in pairs and pairs[(100, 101)] > 0.999
+
+def test_tfidf_null_text_gets_zero_vector(spark):
+    from kgner.operators.vectorize import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "real words here"), (1, None)], "doc_id long, text string"
+    )
+    vecs = {r["doc_id"]: list(r["vector"]) for r in tfidf_vectors(docs, dim=8).collect()}
+    assert set(vecs) == {0, 1}
+    assert vecs[1] == [0.0] * 8
+    assert any(x != 0 for x in vecs[0])

@@ -52,3 +52,19 @@ def test_warc_spark_reader_feeds_pipeline(spark, tmp_path, fx):
     pages_df = df.withColumn("lang", F.lit("en"))
     mentions = detect_mentions(spark, pages_to_sentences(pages_df), aliases)
     assert mentions.count() > 0
+
+def test_warc_fractional_date_and_missing_length():
+    blob = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u1\r\n"
+        b"WARC-Date: 2025-06-01T12:00:00.123456Z\r\nContent-Length: 4\r\n\r\nbody"
+        b"\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u2\r\n"
+        b"WARC-Date: 2025-06-01T00:00:00Z\r\n\r\nno-length-body"
+    )
+    from kgner.sources.warc import parse_warc_bytes
+
+    recs = parse_warc_bytes(blob)
+    assert len(recs) == 1  # record without Content-Length skipped, not fabricated
+    url, ts, body = recs[0]
+    assert url == "u1" and body == b"body"
+    assert ts.year == 2025 and ts.microsecond == 123456
