@@ -1232,6 +1232,23 @@ FROM documents
 """
 
 
+def q_tfidf_features(spark, sf_dir):
+    """Vectorizer: hashed TF-IDF — nonzero-feature count + L2 norm per doc
+    (rows-only: feature ids are xxhash64-derived; unit-tested in
+    tests/test_vectorize.py)."""
+    from kgner.operators.vectorize import tfidf_vectors
+
+    d = _t(spark, sf_dir, "documents")
+    v = tfidf_vectors(d, dim=64)
+    return v.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.filter("vector", lambda x: x != 0.0)).cast("long").alias("n_nonzero"),
+        F.round(
+            F.sqrt(F.aggregate("vector", F.lit(0.0), lambda a, x: a + x * x)), 4
+        ).alias("l2_norm"),
+    )
+
+
 def q_crf_spans(spark, sf_dir):
     """M-4/M-5/W-1: the ML-inference path through the driver contract —
     emission projection + numpy CRF Viterbi (mapInPandas) + span decode.
@@ -1417,6 +1434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_assembly": q_context_assembly,
     "crf_spans": q_crf_spans,
     "pattern_flags": q_pattern_flags,
+    "tfidf_features": q_tfidf_features,
     "cosine_topk": q_cosine_topk,
     "embedding_label_centroids": q_embedding_label_centroids,
 }
