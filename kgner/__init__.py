@@ -16,5 +16,23 @@ Quick start:
 
 __version__ = "0.1.0"
 
-from kgner.session import get_spark  # noqa: E402,F401
-from kgner.pipeline import Pipeline, PipelineConfig  # noqa: E402,F401
+# Lazy re-exports: importing a pure submodule (kgner.textops, kgner.bm25)
+# must NOT pull in pyspark — the pure core stays importable anywhere.
+_LAZY = {
+    "get_spark": ("kgner.session", "get_spark"),
+    "Pipeline": ("kgner.pipeline", "Pipeline"),
+    "PipelineConfig": ("kgner.pipeline", "PipelineConfig"),
+}
+
+
+def __getattr__(name: str):
+    if name in _LAZY:
+        import importlib
+
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'kgner' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))

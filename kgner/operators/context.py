@@ -29,6 +29,8 @@ def assemble_context(
     retrievals: DataFrame,
     budget: int = 510,
     sent_key: str = "query_id",
+    add_eos: bool = True,
+    min_headroom: int = 10,
 ) -> DataFrame:
     """sentences(query_id, sentence) x retrievals(query_id, rank, sentence)
     -> (query_id, sentence, contexts array<string>, augmented string,
@@ -36,7 +38,17 @@ def assemble_context(
 
     Contexts are taken in rank order (W-2 semantics: rank-deduped, sorted)
     and greedily appended while the cumulative subtoken count — sentence
-    included — stays within `budget` (kb/context_process.py:365-502).
+    included — stays within `budget`, with the reference's exact loop
+    semantics (kb/context_process.py:395-446):
+
+    - EARLY STOP: before each context, if ``budget - used < min_headroom``
+      the loop breaks — later contexts are NOT considered (`:402`).
+    - the fit check charges ``+1`` for the EOS separator iff ``add_eos``
+      (`:434`, ``cxt_length + count + add_eos > length_limit -> continue``),
+      but the ACCUMULATED count grows by the context length only (`:436`
+      adds cxt_length, not cxt_length + add_eos).
+    - an over-budget context is SKIPPED and the scan continues (a later,
+      shorter context may still fit) unless the early stop fired first.
     """
     ranked = (
         retrievals.groupBy(sent_key)
@@ -50,18 +62,37 @@ def assemble_context(
     joined = sentences.join(ranked, sent_key, "left").withColumn(
         "ctxs", F.coalesce(F.col("ctxs"), F.array().cast("array<string>"))
     )
-    # accumulator: struct<used:int, kept:array<string>>
+    # accumulator: struct<used:int, kept:array<string>, stopped:boolean>
+    eos_charge = 1 if add_eos else 0
     init = F.struct(
         _subtok(F.col("sentence")).cast("int").alias("used"),
         F.array().cast("array<string>").alias("kept"),
+        F.lit(False).alias("stopped"),
     )
-    step = lambda acc, c: F.when(  # noqa: E731
-        acc["used"] + _subtok(c).cast("int") + 1 <= F.lit(budget),
-        F.struct(
-            (acc["used"] + _subtok(c).cast("int") + 1).cast("int").alias("used"),
-            F.array_append(acc["kept"], c).alias("kept"),
-        ),
-    ).otherwise(acc)
+
+    def step(acc, c):
+        stopped = acc["stopped"] | (F.lit(budget) - acc["used"] < F.lit(min_headroom))
+        fits = acc["used"] + _subtok(c).cast("int") + F.lit(eos_charge) <= F.lit(budget)
+        return (
+            F.when(
+                stopped,
+                F.struct(
+                    acc["used"].alias("used"),
+                    acc["kept"].alias("kept"),
+                    F.lit(True).alias("stopped"),
+                ),
+            )
+            .when(
+                fits,
+                F.struct(
+                    (acc["used"] + _subtok(c).cast("int")).cast("int").alias("used"),
+                    F.array_append(acc["kept"], c).alias("kept"),
+                    F.lit(False).alias("stopped"),
+                ),
+            )
+            .otherwise(acc)
+        )
+
     assembled = joined.withColumn("acc", F.aggregate("ctxs", init, step))
     return assembled.select(
         sent_key,

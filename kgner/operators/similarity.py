@@ -68,29 +68,77 @@ def brute_force_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Sign of <v, h_plane> where h_plane[d] derives from xxhash64(d, plane)
-    mapped to [-1, 1] — deterministic pseudo-random hyperplane, no matrix."""
-    comps = [
-        vec.getItem(d)
-        * (
-            (F.xxhash64(F.lit(d), F.lit(plane)) % 10007).cast("double") / 10007.0
+def _plane_matrix(dim: int, planes: int, bands: int = 1) -> list[list[list[float]]]:
+    """Deterministic pseudo-random hyperplanes, (bands, planes, dim) in
+    [-1, 1], derived from md5(plane_id:dim_id) — no RNG state to ship, any
+    worker/driver can regenerate the identical matrix."""
+    import hashlib
+
+    out = []
+    for band in range(bands):
+        rows = []
+        for p in range(planes):
+            plane_id = band * planes + p
+            row = []
+            for d in range(dim):
+                h = hashlib.md5(f"{plane_id}:{d}".encode()).digest()
+                v = int.from_bytes(h[:8], "big") % 20015
+                row.append((v - 10007) / 10007.0)
+            rows.append(row)
+        out.append(rows)
+    return out
+
+
+def _with_band_buckets(
+    vectors: DataFrame, dim: int, planes: int, bands: int, vcol: str
+) -> DataFrame:
+    """Add `buckets: array<long>` (one per band, disjoint id spaces).
+
+    The plane matrix travels as DATA — a broadcast one-row DataFrame crossed
+    into the scan — so the Catalyst plan has a CONSTANT node count regardless
+    of dim/planes/bands. (The previous shape inlined one expression node per
+    vector dimension per plane: ~18-37k nodes at dim=768-1536 — analysis
+    blow-up + codegen bailout.)
+    """
+    spark = vectors.sparkSession
+    mat = _plane_matrix(dim, planes, bands)
+    planes_df = spark.createDataFrame(
+        [(mat,)], "__planes array<array<array<double>>>"
+    )
+    powers = F.lit([1 << i for i in range(planes)])  # tiny: `planes` literals
+    band_bucket = lambda band_planes: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.transform(
+                band_planes,
+                lambda p: (_dot(F.col(vcol), p) >= 0).cast("long"),
+            ),
+            powers,
+            lambda b, w: b * w.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        vectors.crossJoin(F.broadcast(planes_df))
+        .withColumn(
+            "buckets",
+            F.transform(
+                F.col("__planes"),
+                lambda bp, i: band_bucket(bp)
+                + i.cast("long") * F.lit(1 << planes).cast("long"),
+            ),
         )
-        for d in range(dim)
-    ]
-    s = comps[0]
-    for c in comps[1:]:
-        s = s + c
-    return (s >= 0).cast("int")
+        .drop("__planes")
+    )
 
 
 def lsh_bucket(vectors: DataFrame, dim: int, planes: int = 8, vcol: str = "embedding") -> DataFrame:
     """Add a `bucket` column = integer of `planes` hyperplane signs."""
-    bits = [_hyperplane_sign(F.col(vcol), p, dim) for p in range(planes)]
-    acc = F.lit(0)
-    for i, b in enumerate(bits):
-        acc = acc + b * F.lit(1 << i)
-    return vectors.withColumn("bucket", acc)
+    return (
+        _with_band_buckets(vectors, dim, planes, 1, vcol)
+        .withColumn("bucket", F.col("buckets").getItem(0))
+        .drop("buckets")
+    )
 
 
 def lsh_topk(
@@ -144,18 +192,14 @@ def cosine_near_dup_pairs(
     unaffected.
     """
     src = vectors.select(vec_id, F.col(vcol).alias("__v"))
-    banded = None
-    for band in range(bands):
-        bits = [
-            _hyperplane_sign(F.col("__v"), band * planes + p, dim)
-            for p in range(planes)
-        ]
-        acc = F.lit(band * (1 << planes))  # disjoint bucket spaces per band
-        for i, bcol in enumerate(bits):
-            acc = acc + bcol * F.lit(1 << i)
-        one = src.withColumn("bucket", acc)
-        banded = one if banded is None else banded.unionByName(one)
-    banded = banded.localCheckpoint(eager=False)
+    # ONE scan computes every band's bucket (array<long>), then posexplode —
+    # the old shape unioned `bands` scans of the source. Bucket id spaces are
+    # disjoint per band (offset by band * 2^planes inside _with_band_buckets).
+    banded = (
+        _with_band_buckets(src, dim, planes, bands, "__v")
+        .select(vec_id, "__v", F.explode("buckets").alias("bucket"))
+        .localCheckpoint(eager=False)
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -29,10 +29,16 @@ def tfidf_vectors(
     """
     from kgner.functions.text import tokens_col
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
-    ).withColumn("feat", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int"))
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok"),
+        )
+        # F.split of a trimmed empty string yields [''] — drop the phantom
+        # token so empty/whitespace-only docs really get the zero vector
+        .filter(F.col("tok") != "")
+        .withColumn("feat", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int"))
+    )
 
     n_docs = docs.count()
     # ONE tokenize+explode: tf is the only shuffle over raw tokens;

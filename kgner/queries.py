@@ -1046,22 +1046,41 @@ WHERE rank <= 10
 def q_span_f1(spark, sf_dir):
     """A-5: chunk-level P/R/F1 (conlleval_perl.py:207-350) — gold = all
     gazetteer spans, pred = spans of length <= 2 (a model that misses long
-    spans); exact span-set compare aggregated to micro metrics."""
-    spans = q_entity_spans(spark, sf_dir).select(
-        "doc_id", "start_pos", "span_len"
+    spans); exact span-set compare aggregated to micro metrics.
+
+    Single plan, single action: gold FULL OUTER pred on the span key, one
+    agg over null-side indicators, metrics derived as plan expressions —
+    the span decode runs ONCE per side (localCheckpoint reuse), never on
+    the driver. (Replaces a 3-action count/count/count shape that re-derived
+    the decode ~6x and serialized on the driver.)"""
+    spans = (
+        q_entity_spans(spark, sf_dir)
+        .select("doc_id", "start_pos", "span_len")
+        .localCheckpoint(eager=False)
     )
-    gold = spans
-    pred = spans.filter(F.col("span_len") <= 2)
     key = ["doc_id", "start_pos", "span_len"]
-    tp = gold.join(pred, key, "inner").count()
-    fp = pred.join(gold, key, "left_anti").count()
-    fn = gold.join(pred, key, "left_anti").count()
-    p = tp / max(tp + fp, 1)
-    r = tp / max(tp + fn, 1)
-    f1 = 2 * p * r / max(p + r, 1e-12)
-    return spark.createDataFrame(
-        [(tp, fp, fn, round(p, 6), round(r, 6), round(f1, 6))],
-        "tp long, fp long, fn long, precision double, recall double, f1 double",
+    gold = spans.withColumn("__g", F.lit(1))
+    pred = spans.filter(F.col("span_len") <= 2).withColumn("__p", F.lit(1))
+    both = gold.join(pred, key, "full_outer")
+    m = both.agg(
+        F.sum(
+            F.when(F.col("__g").isNotNull() & F.col("__p").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("__g").isNull(), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(F.col("__p").isNull(), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = 2 * p * r / F.greatest(p + r, F.lit(1e-12))
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     )
 
 
@@ -1184,18 +1203,24 @@ WITH q AS (
   FROM q CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS r) g
   JOIN documents d ON d.doc_id = q.query_id + g.r
 ), state AS (
+  -- replays assemble_context's reference-exact loop
+  -- (kb/context_process.py:395-446): early stop when headroom < 10,
+  -- +1 EOS charge on the FIT CHECK only, used grows by context length.
   WITH RECURSIVE s AS (
     SELECT query_id, 0 AS idx,
            len(regexp_extract_all(sentence, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS used,
-           0 AS kept
+           0 AS kept, false AS stopped
     FROM q
     UNION ALL
     SELECT s.query_id, s.idx + 1,
-           CASE WHEN s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) + 1 <= 100
-                THEN s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) + 1
+           CASE WHEN NOT (s.stopped OR 100 - s.used < 10)
+                 AND s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) + 1 <= 100
+                THEN s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
                 ELSE s.used END,
-           CASE WHEN s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) + 1 <= 100
-                THEN s.kept + 1 ELSE s.kept END
+           CASE WHEN NOT (s.stopped OR 100 - s.used < 10)
+                 AND s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) + 1 <= 100
+                THEN s.kept + 1 ELSE s.kept END,
+           s.stopped OR 100 - s.used < 10
     FROM s JOIN c ON c.query_id = s.query_id AND c.rank = s.idx + 1
   ) SELECT * FROM s
 )

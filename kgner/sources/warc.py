@@ -53,8 +53,13 @@ def parse_warc_bytes(blob: bytes) -> list[tuple[str, dt.datetime, bytes]]:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
             # malformed/missing length: skip this record without emitting a
-            # fabricated empty page; resume scanning from the body start
-            pos = body_start
+            # fabricated empty page. Resync on the record-boundary byte
+            # sequence (CRLFCRLF + magic) — scanning raw payload bytes could
+            # emit phantom records from a payload that CONTAINS "WARC/1.0".
+            nxt = blob.find(_SEP + b"WARC/1.0", body_start)
+            if nxt < 0:
+                break
+            pos = nxt + len(_SEP)
             continue
         body = blob[body_start : body_start + length]
         pos = body_start + length
