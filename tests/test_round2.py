@@ -1,0 +1,192 @@
+"""Round-2 regression tests: advisor-finding fixes (empty-token TF-IDF,
+WARC resync, lazy package root, reference-exact context budget loop) and the
+judge's scale-smell fixes (single-plan span_f1, constant-size LSH plans)."""
+
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- package root stays pure ------------------------------------------------
+
+def test_package_root_import_does_not_pull_pyspark():
+    code = (
+        "import sys; import kgner; import kgner.textops; "
+        "assert 'pyspark' not in sys.modules, 'eager pyspark import'; "
+        "p = kgner.Pipeline; "  # lazy attribute triggers the import
+        "assert 'pyspark' in sys.modules"
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, cwd="/root/repo")
+
+
+# --- TF-IDF empty/whitespace docs -------------------------------------------
+
+def test_tfidf_empty_and_whitespace_get_zero_vector(spark):
+    from kgner.operators.vectorize import tfidf_vectors
+
+    docs = spark.createDataFrame(
+        [(0, "spark shuffles data"), (1, ""), (2, "   "), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: list(r.vector) for r in tfidf_vectors(docs, dim=8).collect()}
+    assert rows[1] == [0.0] * 8
+    assert rows[2] == [0.0] * 8
+    assert rows[3] == [0.0] * 8
+    assert any(v != 0.0 for v in rows[0])
+
+
+# --- WARC resync on record boundary ------------------------------------------
+
+def test_warc_bad_length_no_phantom_records():
+    """A record with a malformed Content-Length whose PAYLOAD contains the
+    literal bytes 'WARC/1.0' must not produce phantom records; the parser
+    resyncs on the CRLFCRLF+magic record boundary and picks up the next
+    real record."""
+    from kgner.sources.warc import parse_warc_bytes
+
+    bad = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad.example/\r\n"
+        b"Content-Length: oops\r\n"
+        b"\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\npage about the WARC/1.0 format and "
+        b"WARC/1.0 parsers"
+    )
+    good_http = b"HTTP/1.1 200 OK\r\n\r\n<html>real</html>"
+    good = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://good.example/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(good_http)).encode() + b"\r\n"
+        b"\r\n" + good_http
+    )
+    recs = parse_warc_bytes(bad + b"\r\n\r\n" + good)
+    assert [r[0] for r in recs] == ["http://good.example/"]
+    assert recs[0][2] == b"<html>real</html>"
+
+    # malformed record at the tail: parser terminates cleanly, nothing emitted
+    assert parse_warc_bytes(bad) == []
+
+
+# --- reference-exact context budget loop --------------------------------------
+
+def _assemble(spark, sentence, ctxs, budget, **kw):
+    from kgner.operators.context import assemble_context
+
+    sents = spark.createDataFrame([(1, sentence)], "query_id long, sentence string")
+    rets = spark.createDataFrame(
+        [(1, i + 1, c) for i, c in enumerate(ctxs)],
+        "query_id long, rank int, sentence string",
+    )
+    row = assemble_context(sents, rets, budget=budget, **kw).collect()[0]
+    return row.contexts, row.used_subtokens
+
+
+def test_context_early_stop_below_headroom(spark):
+    # sentence uses 12 of 20; headroom 8 < 10 -> loop breaks BEFORE any
+    # context, even one that would fit (kb/context_process.py:402)
+    sentence = " ".join(["w"] * 12)
+    kept, used = _assemble(spark, sentence, ["a b c"], budget=20)
+    assert kept == []
+    assert used == 12
+
+
+def test_context_skip_and_continue(spark):
+    # over-budget context is SKIPPED, a later shorter one still accepted
+    sentence = " ".join(["w"] * 5)
+    big = " ".join(["x"] * 30)
+    small = " ".join(["y"] * 10)
+    kept, used = _assemble(spark, sentence, [big, small], budget=30)
+    assert kept == [small]
+    assert used == 15
+
+
+def test_context_eos_charge_not_accumulated(spark):
+    # fit check charges +1 for EOS but `used` grows by context length only
+    # (kb/context_process.py:434-436); with the old cumulative +1 this
+    # would report 13
+    sentence = " ".join(["w"] * 5)
+    ctx = " ".join(["x"] * 7)
+    kept, used = _assemble(spark, sentence, [ctx, ctx], budget=20)
+    assert len(kept) == 1  # after first: used=12, headroom 8 < 10 -> stop
+    assert used == 12
+
+
+def test_context_add_eos_false_relaxes_fit(spark):
+    # used=5, ctx=15: 5+15+1 > 20 rejects with EOS, fits without
+    sentence = " ".join(["w"] * 5)
+    ctx = " ".join(["x"] * 15)
+    kept_eos, _ = _assemble(spark, sentence, [ctx], budget=20)
+    kept_no, used_no = _assemble(spark, sentence, [ctx], budget=20, add_eos=False)
+    assert kept_eos == []
+    assert kept_no == [ctx]
+    assert used_no == 20
+
+
+# --- span_f1 is one plan -------------------------------------------------------
+
+def test_span_f1_single_plan_no_driver_actions(spark):
+    from kgner.queries import QUERIES
+
+    df = QUERIES["span_f1"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the span-decode UDF feeds both join sides from ONE checkpointed RDD:
+    # no Python eval nodes re-derive it inside this plan
+    assert "EvalPython" not in plan
+    # full-outer span-set compare + one aggregate, all in-plan
+    assert "FullOuter" in plan
+    assert "HashAggregate" in plan
+    row = df.collect()[0]
+    assert row.fp == 0 and row.tp + row.fn > 0
+    assert row.precision == 1.0
+
+
+# --- LSH plan size independent of dim ------------------------------------------
+
+def _lsh_plan_len(spark, dim):
+    from kgner.operators.similarity import lsh_bucket
+
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)), lambda i: i.cast("double")
+        ).alias("embedding"),
+    )
+    out = lsh_bucket(df, dim=dim, planes=6)
+    return len(out._jdf.queryExecution().executedPlan().toString())
+
+
+def test_lsh_plan_size_independent_of_dim(spark):
+    small = _lsh_plan_len(spark, 8)
+    big = _lsh_plan_len(spark, 512)
+    assert big < small * 1.5, (small, big)
+
+
+def test_lsh_topk_recall_at_dim_256(spark):
+    """Identical vectors land in identical buckets regardless of dim, so an
+    exact-duplicate probe ALWAYS recalls its duplicate at rank 1 — checked at
+    a realistic embedding width (the old expression-per-dim shape stalled
+    Catalyst here)."""
+    import numpy as np
+
+    from kgner.operators.similarity import lsh_topk
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 256)
+    vecs = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, base[i].tolist()) for i in range(5)],
+        "query_id long, embedding array<double>",
+    )
+    top = lsh_topk(queries, vecs, dim=256, k=3, planes=6)
+    got = {r.query_id: r.vec_id for r in top.filter(F.col("rank") == 1).collect()}
+    assert got == {100 + i: i for i in range(5)}
