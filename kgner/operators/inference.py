@@ -48,22 +48,46 @@ def tag_with_crf(
     embed_fn: Callable[[list[str]], np.ndarray] = hash_embedding,
     token_budget: int = 8192,
     length_sorted: bool = True,
+    max_window: int | None = None,
+    stride: int | None = None,
+    pooling: str = "first",
 ) -> DataFrame:
     """sentences(url, sent_id, tokens, subtoken_len) -> (url, sent_id, tags).
 
     weights: (dim, K) emission projection; transitions: (K+2, K+2) CRF.
     Both are closure-captured -> Spark broadcasts them with the task (small).
+
+    max_window: when set, run the reference's long-sentence inference path
+    (M-1/M-2): subtokenize each sentence, embed in overlapping windows of
+    `max_window` subtokens with `stride` overlap (default max_window//2,
+    flair/embeddings.py:2962-2969), seam-cut reconstruct, pool per token
+    (`pooling`), THEN project + Viterbi over the full token sequence. In
+    this mode embed_fn receives SUBTOKEN strings per window — the tensor a
+    real transformer sees. When None (default), embed_fn embeds the raw
+    token list directly (the token-level fast path).
     """
     K = len(tagset)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def decode_rows(rows: list[tuple[str, int, list[str]]]) -> pd.DataFrame:
+            from kgner.operators.align import embed_tokens_windowed
+
             tags_out = []
             for _, _, toks in rows:
                 if not toks:
                     tags_out.append([])
                     continue
-                em = embed_fn(list(toks)) @ weights  # (T, K)
+                if max_window is not None:
+                    embedded = embed_tokens_windowed(
+                        list(toks),
+                        embed_fn,
+                        max_len=max_window,
+                        stride=stride,
+                        pooling=pooling,
+                    )
+                else:
+                    embedded = embed_fn(list(toks))
+                em = embedded @ weights  # (T, K)
                 path = viterbi_decode(em, transitions)
                 tags_out.append([tagset[i] for i in path])
             return pd.DataFrame(

@@ -1110,6 +1110,97 @@ FROM m
 """.replace("{gaz}", GAZ_SQL)
 
 
+def q_windowed_crf_spans(spark, sf_dir):
+    """M-1/M-2: the LONG-SENTENCE inference path — subtokenize, embed in
+    overlapping stride windows (max_window=8, stride=4: every document longer
+    than 8 clean tokens is windowed), seam-cut reconstruct
+    (flair/embeddings.py:3202-3229, :3293-3296), first-subtoken pooling,
+    then CRF Viterbi over the stitched sequence.
+
+    Tokens are restricted to single-piece words ([a-z]+|[0-9]+) so token and
+    subtoken granularity coincide and the engineered gazetteer emissions make
+    the chunk-stitched decode provably equal the gaps-and-islands SQL oracle
+    over the same filtered token stream. (Multi-piece alignment/pooling is
+    covered by tests/test_align.py.)"""
+    import numpy as np
+
+    from kgner.operators.ensemble import decode_spans_udf
+    from kgner.operators.inference import tag_with_crf
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        _toks(F.col("text")), lambda x: x.rlike("^([a-z]+|[0-9]+)$")
+    )
+    sents = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).cast("int").alias("sent_id"),
+        toks.alias("tokens"),
+        F.size(toks).alias("subtoken_len"),
+    )
+    gaz = set(GAZ)
+    tagset = ["O", "B-ENT", "I-ENT"]
+    dim = 3
+
+    def embed(pieces):
+        out = np.zeros((len(pieces), dim))
+        prev_gaz = False
+        for i, t in enumerate(pieces):
+            is_gaz = t in gaz
+            out[i, 1 if (is_gaz and not prev_gaz) else (2 if is_gaz else 0)] = 5.0
+            prev_gaz = is_gaz
+        return out
+
+    w = np.eye(dim)
+    transitions = np.zeros((dim + 2, dim + 2))
+    transitions[0, 2] = -10.0  # O -> I-ENT forbidden
+    transitions[dim, 2] = -10.0  # START -> I-ENT forbidden
+    tagged = tag_with_crf(
+        sents, w, transitions, tagset, embed_fn=embed, max_window=8, stride=4
+    )
+    spans = tagged.join(
+        sents.select("url", "sent_id", "tokens"), ["url", "sent_id"]
+    ).select(
+        F.col("url").cast("long").alias("doc_id"),
+        "tokens",
+        F.explode(decode_spans_udf(F.col("tags"))).alias("span"),
+    )
+    return spans.select(
+        "doc_id",
+        (F.col("span.start") + 1).cast("long").alias("start_pos"),
+        (F.col("span.end") - F.col("span.start")).cast("long").alias("span_len"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("tokens"),
+                F.col("span.start") + 1,
+                F.col("span.end") - F.col("span.start"),
+            ),
+        ).alias("span_text"),
+    )
+
+
+ORACLE_WINDOWED_CRF = r"""
+WITH t0 AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord0
+  FROM documents
+), t AS (
+  SELECT doc_id, tok,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord0) AS ord
+  FROM t0 WHERE regexp_full_match(tok, '[a-z]+|[0-9]+')
+), g AS (
+  SELECT doc_id, tok, ord,
+         ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+  FROM t WHERE tok IN {gaz}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(ord) AS BIGINT) AS start_pos,
+       count(*) AS span_len,
+       string_agg(tok, ' ' ORDER BY ord) AS span_text
+FROM g GROUP BY doc_id, isl
+""".replace("{gaz}", GAZ_SQL)
+
+
 def q_cube_counts(spark, sf_dir):
     """Metrics layer: cube(lang, source) lineage counts with grouping id
     (SURVEY §2.D note: cube/rollup absent in reference, used by our
@@ -1458,6 +1549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct": q_approx_distinct,
     "context_assembly": q_context_assembly,
     "crf_spans": q_crf_spans,
+    "windowed_crf_spans": q_windowed_crf_spans,
     "pattern_flags": q_pattern_flags,
     "tfidf_features": q_tfidf_features,
     "cosine_topk": q_cosine_topk,
@@ -1501,6 +1593,7 @@ ORACLES: dict[str, str] = {
     # approx_distinct: rows-only (HLL sketch values are engine-specific)
     "context_assembly": ORACLE_CONTEXT,
     "crf_spans": ORACLE_ENTITY_SPANS,  # engineered emissions == gazetteer islands
+    "windowed_crf_spans": ORACLE_WINDOWED_CRF,  # same trick, stride-windowed path
     "pattern_flags": ORACLE_PATTERN_FLAGS,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_label_centroids": ORACLE_CENTROIDS,
