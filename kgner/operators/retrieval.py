@@ -26,7 +26,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -42,11 +42,21 @@ def bm25_topk(
     title_boost: float = 2.0,
     max_df_ratio: float | None = None,
 ) -> DataFrame:
-    """-> retrievals(query_id, rank, doc_id, score, sentence, title, url).
+    """-> retrievals(query_id, rank, doc_id, score, sentence, title, url,
+    matched_terms array<string>, highlight string).
 
     queries: (query_id, tokens array<string>) — tokens already lowercased.
     boost_entities: optional (query_id, entity string) rows; adds the
     reference's entity->title boost clause (generate_data.py:52-55).
+    NOTE: the boost here is flat-additive (+title_boost per distinct entity
+    term found in the title), an intentional simplification of the ES
+    semantics (match(title, {boost: 2.0}) MULTIPLIES the title-field BM25
+    score); Spark path and oracle share the simplification.
+
+    matched_terms/highlight mirror the ES highlight hits the reference's
+    retrieval rows carry (kb/generate_data.py:44-48,62-68; row format
+    README.md:248-272): the query terms that scored in this doc, and the
+    sentence with each matched token wrapped in <hit></hit>.
 
     max_df_ratio: THE web-scale knob. Query terms whose document frequency
     exceeds this fraction of the corpus are dropped BEFORE the postings join
@@ -103,7 +113,14 @@ def bm25_topk(
             ),
         )
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("contrib").alias("score"))
+        .agg(
+            F.sum("contrib").alias("score"),
+            # per-result matched-terms: every joined term contributed > 0
+            # (idf = ln(1+x), x > 0; tf >= 1) — the engine-side equivalent of
+            # the ES highlight hits the reference consumes downstream
+            # (kb/generate_data.py:44-48,62-68: pre/post <hit> tags on text)
+            F.sort_array(F.collect_set("term")).alias("matched_terms"),
+        )
     )
 
     if boost_entities is not None:
@@ -126,6 +143,9 @@ def bm25_topk(
                 "query_id",
                 "doc_id",
                 (F.col("score") + F.col("boost")).alias("score"),
+                F.coalesce(
+                    "matched_terms", F.array().cast("array<string>")
+                ).alias("matched_terms"),
             )
         )
 
@@ -136,5 +156,35 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .join(docs.select("doc_id", "sentence", "title", "url"), "doc_id")
-        .select("query_id", "rank", "doc_id", "score", "sentence", "title", "url")
+        .withColumn("highlight", highlight_col(F.col("sentence"), F.col("matched_terms")))
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "score",
+            "sentence",
+            "title",
+            "url",
+            "matched_terms",
+            "highlight",
+        )
+    )
+
+
+def highlight_col(sentence: Column, matched_terms: Column) -> Column:
+    """ES-style highlight (kb/generate_data.py:44-48: pre_tags ["<hit>"],
+    post_tags ["</hit>"]): wrap each whitespace token whose lowercase form is
+    a matched term. Token-rebuild rather than regexp_replace — a matched term
+    like "hit" must not re-match inside an inserted <hit> tag, and the
+    postings themselves are whitespace tokens so this marks exactly the
+    positions that scored. JVM-only (transform/array_contains)."""
+    return F.concat_ws(
+        " ",
+        F.transform(
+            F.split(sentence, r"\s+"),
+            lambda t: F.when(
+                F.array_contains(matched_terms, F.lower(t)),
+                F.concat(F.lit("<hit>"), t, F.lit("</hit>")),
+            ).otherwise(t),
+        ),
     )

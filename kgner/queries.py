@@ -830,7 +830,16 @@ def q_bm25_retrieval(spark, sf_dir):
             / (F.col("tf") + K1 * (1.0 - B + B * F.col("len") / F.col("avg_len"))),
         )
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .agg(
+            F.round(F.sum("contrib"), 6).alias("score"),
+            # highlight-hits parity (kb/generate_data.py:62-68): which query
+            # terms matched this doc; qt and postings are both term-distinct
+            # so count == distinct matched terms
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.array_join(F.sort_array(F.collect_set("term")), ",").alias(
+                "matched_terms"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
@@ -843,6 +852,8 @@ def q_bm25_retrieval(spark, sf_dir):
             "rank",
             F.col("doc_id").cast("long").alias("doc_id"),
             "score",
+            "n_matched",
+            "matched_terms",
         )
     )
 
@@ -865,7 +876,9 @@ scored AS (
   SELECT qt.query_id, p.doc_id,
          round(sum(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
              * p.tf * 2.2
-             / (p.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))), 6) AS score
+             / (p.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))), 6) AS score,
+         count(DISTINCT term) AS n_matched,
+         string_agg(DISTINCT term, ',' ORDER BY term) AS matched_terms
   FROM qt
   JOIN postings p USING (term)
   JOIN dfreq d USING (term)
@@ -874,7 +887,8 @@ scored AS (
   GROUP BY 1, 2
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
-       CAST(doc_id AS BIGINT) AS doc_id, score
+       CAST(doc_id AS BIGINT) AS doc_id, score,
+       CAST(n_matched AS BIGINT) AS n_matched, matched_terms
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY score DESC, doc_id ASC) AS rank
       FROM scored)

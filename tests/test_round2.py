@@ -190,3 +190,33 @@ def test_lsh_topk_recall_at_dim_256(spark):
     top = lsh_topk(queries, vecs, dim=256, k=3, planes=6)
     got = {r.query_id: r.vec_id for r in top.filter(F.col("rank") == 1).collect()}
     assert got == {100 + i: i for i in range(5)}
+
+
+# --- retrieval highlight/hits ---------------------------------------------------
+
+def test_bm25_matched_terms_and_highlight(spark):
+    """ES highlight-hits parity (kb/generate_data.py:44-48,62-68): matched
+    query terms surface per result and the sentence carries <hit> markup;
+    a term equal to the tag word 'hit' must not corrupt inserted tags."""
+    from kgner.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, 4, "big hit Spark", "t1", "u1", "big hit Spark job"),
+            (2, 3, "other text", "t2", "u2", "other text here"),
+        ],
+        "doc_id long, len long, sentence string, title string, url string, _full string",
+    ).drop("_full")
+    postings = spark.createDataFrame(
+        [("big", 1, 1), ("hit", 1, 1), ("spark", 1, 1),
+         ("other", 2, 1), ("text", 2, 1)],
+        "term string, doc_id long, tf long",
+    )
+    queries = spark.createDataFrame(
+        [(7, ["hit", "spark", "absent"])], "query_id long, tokens array<string>"
+    )
+    row = bm25_topk(queries, postings, docs, k=5).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.matched_terms == ["hit", "spark"]
+    assert r.highlight == "big <hit>hit</hit> <hit>Spark</hit>"
