@@ -11,8 +11,18 @@ via map_from/aggregate) — no UDF, no driver-side vocab.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def stable_feature_hash(c: Column) -> Column:
+    """First 8 md5 bytes as an unsigned 64-bit number (JVM-side; the Column
+    twin of kgner.textops.stable_hash64's magnitude). Any md5-capable engine
+    reproduces it — DuckDB: ('0x' || substr(md5(x),1,16))::UBIGINT — which is
+    what makes md5-hashed features ORACLE-CHECKABLE, unlike xxhash64."""
+    return F.conv(F.substring(F.md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
 
 
 def tfidf_vectors(
@@ -21,11 +31,14 @@ def tfidf_vectors(
     id_col: str = "doc_id",
     text_col: str = "text",
     l2_normalize: bool = True,
+    hash_fn: Callable[[Column], Column] = F.xxhash64,
 ) -> DataFrame:
     """-> (doc_id, vector array<double>): hashed TF-IDF.
 
     idf = ln(1 + N/df) over the hashed feature space; tf = in-doc count.
     With l2_normalize the output plugs straight into cosine similarity.
+    hash_fn: token Column -> integerish Column; xxhash64 (default) is the
+    fast production hash, stable_feature_hash the cross-engine-checkable one.
     """
     from kgner.functions.text import tokens_col
 
@@ -37,7 +50,7 @@ def tfidf_vectors(
         # F.split of a trimmed empty string yields [''] — drop the phantom
         # token so empty/whitespace-only docs really get the zero vector
         .filter(F.col("tok") != "")
-        .withColumn("feat", F.pmod(F.xxhash64("tok"), F.lit(dim)).cast("int"))
+        .withColumn("feat", F.pmod(hash_fn(F.col("tok")), F.lit(dim)).cast("int"))
     )
 
     n_docs = docs.count()

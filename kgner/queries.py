@@ -1363,13 +1363,16 @@ FROM documents
 
 
 def q_tfidf_features(spark, sf_dir):
-    """Vectorizer: hashed TF-IDF — nonzero-feature count + L2 norm per doc
-    (rows-only: feature ids are xxhash64-derived; unit-tested in
-    tests/test_vectorize.py)."""
-    from kgner.operators.vectorize import tfidf_vectors
+    """Vectorizer: hashed TF-IDF — nonzero-feature count + un-normalized L2
+    norm per doc. HASH-CHECKED: the contract variant hashes features with
+    stable_feature_hash (first 8 md5 bytes), which DuckDB reproduces exactly,
+    so the whole hashing-trick pipeline (tokenize -> feature bucket -> tf ->
+    df -> idf -> weights) is oracle-verified. Production keeps xxhash64
+    (tests/test_vectorize.py covers that path)."""
+    from kgner.operators.vectorize import stable_feature_hash, tfidf_vectors
 
     d = _t(spark, sf_dir, "documents")
-    v = tfidf_vectors(d, dim=64)
+    v = tfidf_vectors(d, dim=64, l2_normalize=False, hash_fn=stable_feature_hash)
     return v.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.filter("vector", lambda x: x != 0.0)).cast("long").alias("n_nonzero"),
@@ -1377,6 +1380,30 @@ def q_tfidf_features(spark, sf_dir):
             F.sqrt(F.aggregate("vector", F.lit(0.0), lambda a, x: a + x * x)), 4
         ).alias("l2_norm"),
     )
+
+
+ORACLE_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), ft AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT % 64 AS feat,
+         count(*) AS tf
+  FROM toks WHERE tok <> '' GROUP BY 1, 2
+), n AS (SELECT count(*) AS n_docs FROM documents),
+d AS (SELECT feat, count(*) AS df FROM ft GROUP BY 1),
+w AS (
+  SELECT ft.doc_id, ft.tf * ln(1 + CAST(n.n_docs AS DOUBLE) / d.df) AS w
+  FROM ft JOIN d USING (feat) CROSS JOIN n
+), agg AS (
+  SELECT doc_id, count(*) AS n_nonzero, round(sqrt(sum(w * w)), 4) AS l2_norm
+  FROM w GROUP BY 1
+)
+SELECT CAST(doc.doc_id AS BIGINT) AS doc_id,
+       CAST(coalesce(a.n_nonzero, 0) AS BIGINT) AS n_nonzero,
+       coalesce(a.l2_norm, 0.0) AS l2_norm
+FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
+"""
 
 
 def q_crf_spans(spark, sf_dir):
@@ -1609,6 +1636,7 @@ ORACLES: dict[str, str] = {
     "crf_spans": ORACLE_ENTITY_SPANS,  # engineered emissions == gazetteer islands
     "windowed_crf_spans": ORACLE_WINDOWED_CRF,  # same trick, stride-windowed path
     "pattern_flags": ORACLE_PATTERN_FLAGS,
+    "tfidf_features": ORACLE_TFIDF,  # md5-hashed features: engines agree exactly
     "cosine_topk": ORACLE_COSINE_TOPK,
     "embedding_label_centroids": ORACLE_CENTROIDS,
 }
