@@ -118,16 +118,22 @@ def minhash_signatures(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn=None,
 ) -> DataFrame:
     """-> (doc_id, sig array<bigint>) minhash signatures.
 
-    h_i(x) = xxhash64(shingle, seed=i); signature_i = min over shingles.
-    Entirely JVM-side: explode shingles once, aggregate num_hashes mins in a
-    single groupBy (map-side combinable) — no UDF, one shuffle.
+    h_i(x) = hash_fn(shingle, seed=i) — default xxhash64(shingle, i), the
+    fast production hash; pass kgner.functions.hashing.stable_seeded_hash_fn
+    for md5-derived signatures a SQL oracle can reproduce. signature_i = min
+    over shingles. Entirely JVM-side: explode shingles once, aggregate
+    num_hashes mins in a single groupBy (map-side combinable) — no UDF, one
+    shuffle.
     """
+    if hash_fn is None:
+        hash_fn = lambda c, seed: F.xxhash64(c, F.lit(seed))  # noqa: E731
     sh = shingle_df(docs, n, id_col, text_col)
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.min(hash_fn(F.col("shingle"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
@@ -144,6 +150,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn=None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard on signatures.
 
@@ -152,7 +159,7 @@ def minhash_lsh_pairs(
     then thresholded. Returns (doc_a, doc_b, est_jaccard).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, hash_fn)
     band_cols = F.explode(
         F.array(
             *[
@@ -212,17 +219,24 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=F.xxhash64,
+) -> DataFrame:
     """-> (doc_id, simhash bigint): 64-bit simhash over word unigrams.
 
     Bit j of simhash = majority vote of bit j over token hashes. JVM-side:
     explode tokens, per-doc sum of (2*bit-1) per bit position via one groupBy
-    with 64 conditional sums — no UDF.
+    with 64 conditional sums — no UDF. hash_fn must return a LONG column
+    (default xxhash64; kgner.functions.hashing.stable_hash64_col for the
+    oracle-reproducible md5 variant).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", hash_fn(F.col("tok")))
     sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -242,12 +256,16 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Near-dup pairs by simhash banding (4 x 16-bit bands; any equal band is
     a candidate — guaranteed to catch hamming <= 3) verified by exact
     popcount distance. Returns (doc_a, doc_b, hamming)."""
-    sh = simhash(docs, id_col, text_col)
+    sh = simhash(docs, id_col, text_col, hash_fn)
     bands = [
         F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"band{i}")
         for i in range(4)

@@ -22,7 +22,9 @@ def stable_feature_hash(c: Column) -> Column:
     twin of kgner.textops.stable_hash64's magnitude). Any md5-capable engine
     reproduces it — DuckDB: ('0x' || substr(md5(x),1,16))::UBIGINT — which is
     what makes md5-hashed features ORACLE-CHECKABLE, unlike xxhash64."""
-    return F.conv(F.substring(F.md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
+    from kgner.functions.hashing import stable_hash64_u
+
+    return stable_hash64_u(c)
 
 
 def tfidf_vectors(

@@ -561,34 +561,112 @@ WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.999
 def q_minhash_lsh(spark, sf_dir):
     """Dedup #3: MinHash+LSH near-dup pairs over self-doubled documents.
 
-    No SQL oracle (xxhash64 minhashes are Spark-specific) -> rows-only check;
-    correctness is unit-tested in tests/test_dataops.py."""
+    HASH-CHECKED: the contract variant uses md5-derived seeded minhashes
+    (kgner.functions.hashing.stable_seeded_hash_fn) that DuckDB reproduces
+    exactly, so the whole shingle -> 16 permutation mins -> 4-band bucket
+    join -> signature-Jaccard verify pipeline is oracle-verified. Production
+    keeps xxhash64 (unit-tested in tests/test_dataops.py)."""
+    from kgner.functions.hashing import stable_seeded_hash_fn
     from kgner.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionByName(
         d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    return minhash_lsh_pairs(doubled, num_hashes=32, bands=8, threshold=0.999).select(
+    return minhash_lsh_pairs(
+        doubled, num_hashes=16, bands=4, threshold=0.999,
+        hash_fn=stable_seeded_hash_fn,
+    ).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
         F.round("est_jaccard", 6).alias("est_jaccard"),
     )
 
 
+ORACLE_MINHASH = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM d
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)] END
+         )) AS shingle
+  FROM t
+), m AS (
+  SELECT doc_id, s.seed,
+         min(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 16))::UBIGINT) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM m GROUP BY 1
+), banded AS (
+  SELECT doc_id, sig, b.band,
+         array_to_string(sig[b.band*4+1 : b.band*4+4], ',') AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), est AS (
+  SELECT doc_a, doc_b,
+         len([i FOR i IN generate_series(1, 16) IF sig_a[i] = sig_b[i]]) / 16.0 AS est_jaccard
+  FROM cand
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(est_jaccard, 6) AS est_jaccard
+FROM est WHERE est_jaccard >= 0.999
+"""
+
+
 def q_simhash_dups(spark, sf_dir):
-    """Dedup #4: SimHash near-dup pairs (rows-only; unit-tested)."""
+    """Dedup #4: SimHash near-dup pairs at hamming 0.
+
+    HASH-CHECKED: md5-derived token hashes (stable_hash64_col) make the
+    64-bit majority-vote simhash reproducible in SQL; at max_hamming=0 the
+    banded candidate join + popcount verify reduces to simhash equality, so
+    the oracle joins on the recomputed value. The banding path's hamming<=3
+    completeness is unit-tested; production keeps xxhash64."""
+    from kgner.functions.hashing import stable_hash64_col
     from kgner.operators.dedup import simhash_near_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionByName(
         d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    return simhash_near_pairs(doubled, max_hamming=0).select(
+    return simhash_near_pairs(
+        doubled, max_hamming=0, hash_fn=stable_hash64_col
+    ).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
         F.col("hamming").cast("long").alias("hamming"),
     )
+
+
+ORACLE_SIMHASH = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+  FROM d
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+), bitsums AS (
+  SELECT doc_id, b.j, sum(CASE WHEN (h >> b.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) b
+  GROUP BY 1, 2
+), sim AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS simhash
+  FROM bitsums GROUP BY 1
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+"""
 
 
 def q_token_counts(spark, sf_dir):
@@ -1618,6 +1696,8 @@ ORACLES: dict[str, str] = {
     "exact_dedup": ORACLE_EXACT_DEDUP,
     "shingles": ORACLE_SHINGLES,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "minhash_lsh": ORACLE_MINHASH,  # md5-seeded minhashes: engines agree exactly
+    "simhash_dups": ORACLE_SIMHASH,  # md5 token hashes; hamming-0 == equality
     # minhash_lsh, simhash_dups: rows-only (engine-specific hashes)
     "token_counts": ORACLE_TOKEN_COUNTS,
     "lang_id": ORACLE_LANG_ID,
