@@ -121,6 +121,63 @@ def tag_with_crf(
     return src.mapInPandas(run, PRED_SCHEMA)
 
 
+def tag_with_posterior_ensemble(
+    sentences: DataFrame,
+    models: list[tuple[np.ndarray, np.ndarray]],
+    tagset: list[str],
+    embed_fn: Callable[[list[str]], np.ndarray] = hash_embedding,
+    token_budget: int = 8192,
+    length_sorted: bool = True,
+) -> DataFrame:
+    """Posterior-vote ensemble inference (A-1 posterior variant): each model
+    (weights, transitions) projects its own emissions, forward_backward
+    yields per-token marginals, the ensemble averages them and decodes by
+    argmax (kgner.spanops.posterior_vote_decode; reference's `posterior`
+    distillation/multiview combination). Same (url, sent_id, tags) contract
+    and batching shape as tag_with_crf."""
+    from kgner.spanops import posterior_vote_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_rows(rows: list[tuple[str, int, list[str]]]) -> pd.DataFrame:
+            tags_out = []
+            for _, _, toks in rows:
+                if not toks:
+                    tags_out.append([])
+                    continue
+                emb = embed_fn(list(toks))
+                path = posterior_vote_decode(
+                    [emb @ w for w, _ in models], [t for _, t in models]
+                )
+                tags_out.append([tagset[i] for i in path])
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([r[0] for r in rows], dtype="object"),
+                    "sent_id": pd.Series([r[1] for r in rows], dtype="int32"),
+                    "tags": pd.Series(tags_out, dtype="object"),
+                }
+            )
+
+        for pdf in batches:
+            rows: list[tuple[str, int, list[str]]] = []
+            acc = 0
+            for url, sid, toks in zip(pdf["url"], pdf["sent_id"], pdf["tokens"]):
+                toks = list(toks) if toks is not None else []
+                rows.append((url, int(sid), toks))
+                acc += len(toks)
+                if acc >= token_budget:
+                    yield decode_rows(rows)
+                    rows, acc = [], 0
+            if rows:
+                yield decode_rows(rows)
+
+    src = sentences.select("url", "sent_id", "tokens", "subtoken_len")
+    if length_sorted:
+        src = src.repartitionByRange(F.col("subtoken_len")).sortWithinPartitions(
+            "subtoken_len"
+        )
+    return src.mapInPandas(run, PRED_SCHEMA)
+
+
 def make_gazetteer_model(
     tagset: list[str], alias_tokens: dict[str, str], dim: int = 32
 ) -> tuple[np.ndarray, np.ndarray]:

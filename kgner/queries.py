@@ -1202,6 +1202,66 @@ FROM m
 """.replace("{gaz}", GAZ_SQL)
 
 
+def q_posterior_spans(spark, sf_dir):
+    """A-1 posterior variant (M-6): ensemble of two engineered CRF models,
+    per-token marginals via forward_backward averaged across models, argmax
+    decode (kgner.spanops.posterior_vote_decode — the reference's `posterior`
+    distillation/multiview combination), then span decode. Emissions peak at
+    the gazetteer tags so the posterior argmax provably equals the
+    gaps-and-islands SQL oracle."""
+    import numpy as np
+
+    from kgner.operators.ensemble import decode_spans_udf
+    from kgner.operators.inference import tag_with_posterior_ensemble
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    sents = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).cast("int").alias("sent_id"),
+        toks.alias("tokens"),
+        F.size(toks).alias("subtoken_len"),
+    )
+    gaz = set(GAZ)
+    tagset = ["O", "B-ENT", "I-ENT"]
+    dim = 3
+
+    def embed(tokens):
+        out = np.zeros((len(tokens), dim))
+        prev_gaz = False
+        for i, t in enumerate(tokens):
+            is_gaz = t in gaz
+            out[i, 1 if (is_gaz and not prev_gaz) else (2 if is_gaz else 0)] = 5.0
+            prev_gaz = is_gaz
+        return out
+
+    transitions = np.zeros((dim + 2, dim + 2))
+    transitions[0, 2] = -10.0
+    transitions[dim, 2] = -10.0
+    models = [(np.eye(dim), transitions), (2.0 * np.eye(dim), transitions)]
+    tagged = tag_with_posterior_ensemble(sents, models, tagset, embed_fn=embed)
+    spans = tagged.join(
+        sents.select("url", "sent_id", "tokens"), ["url", "sent_id"]
+    ).select(
+        F.col("url").cast("long").alias("doc_id"),
+        "tokens",
+        F.explode(decode_spans_udf(F.col("tags"))).alias("span"),
+    )
+    return spans.select(
+        "doc_id",
+        (F.col("span.start") + 1).cast("long").alias("start_pos"),
+        (F.col("span.end") - F.col("span.start")).cast("long").alias("span_len"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("tokens"),
+                F.col("span.start") + 1,
+                F.col("span.end") - F.col("span.start"),
+            ),
+        ).alias("span_text"),
+    )
+
+
 def q_windowed_crf_spans(spark, sf_dir):
     """M-1/M-2: the LONG-SENTENCE inference path — subtokenize, embed in
     overlapping stride windows (max_window=8, stride=4: every document longer
@@ -1669,6 +1729,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_assembly": q_context_assembly,
     "crf_spans": q_crf_spans,
     "windowed_crf_spans": q_windowed_crf_spans,
+    "posterior_spans": q_posterior_spans,
     "pattern_flags": q_pattern_flags,
     "tfidf_features": q_tfidf_features,
     "cosine_topk": q_cosine_topk,
@@ -1715,6 +1776,7 @@ ORACLES: dict[str, str] = {
     "context_assembly": ORACLE_CONTEXT,
     "crf_spans": ORACLE_ENTITY_SPANS,  # engineered emissions == gazetteer islands
     "windowed_crf_spans": ORACLE_WINDOWED_CRF,  # same trick, stride-windowed path
+    "posterior_spans": ORACLE_ENTITY_SPANS,  # posterior argmax == gazetteer islands
     "pattern_flags": ORACLE_PATTERN_FLAGS,
     "tfidf_features": ORACLE_TFIDF,  # md5-hashed features: engines agree exactly
     "cosine_topk": ORACLE_COSINE_TOPK,

@@ -224,6 +224,82 @@ def forward_backward(
     return np.exp(log_post)
 
 
+def viterbi_nbest(
+    emissions: np.ndarray, transitions: np.ndarray, nbest: int = 2
+) -> list[tuple[list[int], float]]:
+    """Top-n Viterbi paths with scores, best first.
+
+    Semantics of the reference's _viterbi_decode_nbest
+    (flair/models/sequence_tagger_model.py:1660-1778, the NCRFpp top-k DP):
+    per (timestep, state) keep the `nbest` highest-scoring path prefixes;
+    each step ranks all K*nbest predecessor continuations. Clean-room numpy:
+    dp (K, nbest) score matrix + (prev_state, prev_rank) backpointers,
+    exhaustive final top-n over (K, nbest) with the STOP transition added.
+
+    Returns up to `nbest` (path, score) tuples — fewer when the sequence
+    admits fewer distinct paths (e.g. T=1 with K < nbest states).
+    """
+    T, K = emissions.shape
+    START, STOP = K, K + 1
+    trans = transitions[:K, :K]
+    NEG = -1e30
+
+    dp = np.full((K, nbest), NEG)
+    dp[:, 0] = transitions[START, :K] + emissions[0]
+    back: list[np.ndarray] = []  # (K, nbest, 2) per step t>=1
+    for t in range(1, T):
+        # cand[i, r, j] = dp[i, r] + trans[i, j]  -> flatten (i, r)
+        cand = dp[:, :, None] + trans[:, None, :]  # (K, nbest, K)
+        flat = cand.reshape(K * nbest, K)
+        order = np.argsort(-flat, axis=0, kind="stable")[:nbest]  # (nbest, K)
+        bp = np.empty((K, nbest, 2), dtype=np.int64)
+        new_dp = np.full((K, nbest), NEG)
+        for j in range(K):
+            for r in range(nbest):
+                src = order[r, j]
+                new_dp[j, r] = flat[src, j] + emissions[t, j]
+                bp[j, r] = (src // nbest, src % nbest)
+        dp = new_dp
+        back.append(bp)
+    final = dp + transitions[:K, STOP][:, None]  # (K, nbest)
+    flat_final = final.reshape(-1)
+    order = np.argsort(-flat_final, kind="stable")[:nbest]
+    out: list[tuple[list[int], float]] = []
+    for src in order:
+        score = float(flat_final[src])
+        if score <= NEG / 2:
+            continue  # padding slot, not a real path
+        state, rank = int(src // nbest), int(src % nbest)
+        path = [state]
+        for bp in reversed(back):
+            state, rank = int(bp[state, rank, 0]), int(bp[state, rank, 1])
+            path.append(state)
+        path.reverse()
+        out.append((path, score))
+    return out
+
+
+def posterior_vote_decode(
+    emissions_list: list[np.ndarray], transitions_list: list[np.ndarray]
+) -> list[int]:
+    """Posterior-vote ensemble decode: average the per-model CRF marginals
+    (forward_backward) and take the per-token argmax — the marginal-
+    distillation/multiview-posterior combination the reference's `posterior`
+    configs use (flair/trainers/distillation_trainer.py posterior path;
+    ITA/README.md *_multiview_posterior_* configs). Token-independent argmax
+    over an ensemble-averaged distribution, NOT a path decode — structural
+    constraints, if needed, are re-imposed by the downstream span decoder's
+    IOB1 tolerance (decode_spans)."""
+    post = np.mean(
+        [
+            forward_backward(e, t)
+            for e, t in zip(emissions_list, transitions_list)
+        ],
+        axis=0,
+    )
+    return [int(i) for i in np.argmax(post, axis=1)]
+
+
 def viterbi_decode_batch(
     emissions_list: list[np.ndarray], transitions: np.ndarray
 ) -> list[list[int]]:
