@@ -97,6 +97,93 @@ def extract_media_features(
     )
 
 
+CAPTIONS_SCHEMA = "media_id bigint, caption string, ocr_text string"
+
+
+def media_captions(
+    media: DataFrame,
+    max_batch_bytes: int = 64 * 1024 * 1024,
+    deterministic_fake: bool = True,
+    ocr_tokens: int = 5,
+) -> DataFrame:
+    """media -> (media_id, caption, ocr_text): the ITA text-extraction step
+    (ITA/README.md: VinVL image captions + Tesseract OCR texts are extracted
+    per image and aligned into the textual context). Both extractors are
+    STUBBED deterministically (the models/libs are absent): caption is
+    metadata-derived ('image WxH of N bytes md5 xxxxxxxx'), OCR is the first
+    `ocr_tokens` whitespace tokens of the payload decoded as UTF-8,
+    lowercased. The Spark plumbing — byte-capped Arrow batches, schema,
+    per-row extraction seam — is real; swapping in VinVL/Tesseract is a
+    two-function change."""
+    import re
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def flush(rows: list[tuple]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "media_id": pd.Series([r[0] for r in rows], dtype="int64"),
+                    "caption": pd.Series([r[1] for r in rows], dtype="object"),
+                    "ocr_text": pd.Series([r[2] for r in rows], dtype="object"),
+                }
+            )
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            acc = 0
+            for mid, payload, width, height in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "caption/OCR need VinVL/Tesseract — absent here; "
+                        "deterministic_fake=True is the tested path"
+                    )
+                digest = hashlib.md5(payload).hexdigest()[:8]
+                caption = (
+                    f"image {int(width)}x{int(height)} of {len(payload)} "
+                    f"bytes md5 {digest}"
+                )
+                text = payload.decode("utf-8", "replace").strip()
+                toks = re.split(r"[ \t\n\r\f\v]+", text) if text else [""]
+                ocr = " ".join(toks[:ocr_tokens]).lower()
+                rows.append((int(mid), caption, ocr))
+                acc += len(payload)
+                if acc >= max_batch_bytes:
+                    yield flush(rows)
+                    rows, acc = [], 0
+            if rows:
+                yield flush(rows)
+
+    return media.select("media_id", "payload", "width", "height").mapInPandas(
+        run, CAPTIONS_SCHEMA
+    )
+
+
+def ita_contexts(media_links: DataFrame, captions: DataFrame) -> DataFrame:
+    """media_links(query_id, media_id, rank) x captions(media_id, caption,
+    ocr_text) -> (query_id, rank, sentence) ranked contexts for
+    kgner.operators.context.assemble_context: for image rank r the caption
+    lands at 2r-1 and the OCR text at 2r (captions precede OCR per image —
+    ITA feeds captions, object labels, then OCR into the textual context).
+    This is the routing step that makes image-derived text participate in
+    the SAME subtoken-budget loop as retrieved sentence contexts."""
+    from pyspark.sql import functions as F
+
+    j = media_links.join(captions, "media_id")
+    cap = j.select(
+        "query_id",
+        ((F.col("rank") - 1) * 2 + 1).cast("int").alias("rank"),
+        F.col("caption").alias("sentence"),
+    )
+    ocr = j.select(
+        "query_id",
+        ((F.col("rank") - 1) * 2 + 2).cast("int").alias("rank"),
+        F.col("ocr_text").alias("sentence"),
+    )
+    return cap.unionByName(ocr)
+
+
 def frame_sample_plan(
     media: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

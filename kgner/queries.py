@@ -1474,6 +1474,93 @@ FROM state WHERE idx = 3
 """
 
 
+def q_multimodal_context(spark, sf_dir):
+    """ITA multimodal context (ITA/README.md): media synthesized from
+    documents (payload = utf-8 text bytes, metadata from doc_id), captions +
+    OCR extracted through the REAL byte-capped mapInPandas plumbing
+    (media_captions), routed as ranked contexts (ita_contexts) into the SAME
+    subtoken-budget assembly as retrieved sentences (assemble_context).
+    Oracle: SQL recomputes captions/OCR and replays the greedy budget loop."""
+    from kgner.operators.context import assemble_context
+    from kgner.operators.multimodal import ita_contexts, media_captions
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (160 + (F.col("doc_id") % 5) * 160).cast("int").alias("width"),
+        (120 + (F.col("doc_id") % 3) * 120).cast("int").alias("height"),
+    )
+    caps = media_captions(media)
+    toks = _toks(F.col("text"))
+    sents = d.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("sentence"),
+    )
+    ranks = spark.range(1, 3).select(F.col("id").cast("int").alias("rank"))
+    links = (
+        sents.select("query_id")
+        .crossJoin(F.broadcast(ranks))
+        .withColumn("media_id", F.col("query_id") + F.col("rank"))
+    )
+    ctxs = ita_contexts(links, caps)
+    out = assemble_context(sents, ctxs, budget=120)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.size("contexts").cast("long").alias("n_contexts"),
+        F.col("used_subtokens").cast("long").alias("used_subtokens"),
+    )
+
+
+ORACLE_MULTIMODAL = r"""
+WITH q AS (
+  SELECT doc_id AS query_id,
+         array_to_string(regexp_split_to_array(trim(lower(text)), '\s+')[1:8], ' ') AS sentence
+  FROM documents WHERE doc_id < 10
+), med AS (
+  SELECT doc_id AS media_id,
+         'image ' || CAST(160 + (doc_id % 5) * 160 AS VARCHAR) || 'x' ||
+         CAST(120 + (doc_id % 3) * 120 AS VARCHAR) || ' of ' ||
+         CAST(octet_length(encode(text)) AS VARCHAR) || ' bytes md5 ' ||
+         substr(md5(text), 1, 8) AS caption,
+         lower(array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')) AS ocr_text
+  FROM documents
+), c AS (
+  SELECT q.query_id, (g.r - 1) * 2 + 1 AS rank, m.caption AS ctx
+  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS r) g
+  JOIN med m ON m.media_id = q.query_id + g.r
+  UNION ALL
+  SELECT q.query_id, (g.r - 1) * 2 + 2 AS rank, m.ocr_text AS ctx
+  FROM q CROSS JOIN (SELECT unnest(generate_series(1, 2)) AS r) g
+  JOIN med m ON m.media_id = q.query_id + g.r
+), state AS (
+  -- replay of assemble_context's reference-exact loop at budget 120
+  WITH RECURSIVE s AS (
+    SELECT query_id, 0 AS idx,
+           len(regexp_extract_all(sentence, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS used,
+           0 AS kept, false AS stopped
+    FROM q
+    UNION ALL
+    SELECT s.query_id, s.idx + 1,
+           CASE WHEN NOT (s.stopped OR 120 - s.used < 10)
+                 AND s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) + 1 <= 120
+                THEN s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+                ELSE s.used END,
+           CASE WHEN NOT (s.stopped OR 120 - s.used < 10)
+                 AND s.used + len(regexp_extract_all(c.ctx, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) + 1 <= 120
+                THEN s.kept + 1 ELSE s.kept END,
+           s.stopped OR 120 - s.used < 10
+    FROM s JOIN c ON c.query_id = s.query_id AND c.rank = s.idx + 1
+  ) SELECT * FROM s
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(kept AS BIGINT) AS n_contexts,
+       CAST(used AS BIGINT) AS used_subtokens
+FROM state WHERE idx = 4
+"""
+
+
 def q_pattern_flags(spark, sf_dir):
     """Curation: pattern-flagging pass (emails / urls / long digit runs —
     the PII-ish signals a training-data pipeline screens for). JVM regex
@@ -1730,6 +1817,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crf_spans": q_crf_spans,
     "windowed_crf_spans": q_windowed_crf_spans,
     "posterior_spans": q_posterior_spans,
+    "multimodal_context": q_multimodal_context,
     "pattern_flags": q_pattern_flags,
     "tfidf_features": q_tfidf_features,
     "cosine_topk": q_cosine_topk,
@@ -1777,6 +1865,7 @@ ORACLES: dict[str, str] = {
     "crf_spans": ORACLE_ENTITY_SPANS,  # engineered emissions == gazetteer islands
     "windowed_crf_spans": ORACLE_WINDOWED_CRF,  # same trick, stride-windowed path
     "posterior_spans": ORACLE_ENTITY_SPANS,  # posterior argmax == gazetteer islands
+    "multimodal_context": ORACLE_MULTIMODAL,
     "pattern_flags": ORACLE_PATTERN_FLAGS,
     "tfidf_features": ORACLE_TFIDF,  # md5-hashed features: engines agree exactly
     "cosine_topk": ORACLE_COSINE_TOPK,

@@ -220,3 +220,33 @@ def test_bm25_matched_terms_and_highlight(spark):
     r = row[0]
     assert r.matched_terms == ["hit", "spark"]
     assert r.highlight == "big <hit>hit</hit> <hit>Spark</hit>"
+
+
+# --- ITA multimodal context routing --------------------------------------------
+
+def test_media_captions_and_ita_routing(spark):
+    from kgner.operators.multimodal import ita_contexts, media_captions
+
+    media = spark.createDataFrame(
+        [
+            (1, b"Hello Spark  WORLD of data streams", 320, 240),
+            (2, None, 160, 120),  # null payload
+        ],
+        "media_id long, payload binary, width int, height int",
+    )
+    caps = {r.media_id: r for r in media_captions(media).collect()}
+    assert caps[1].caption.startswith("image 320x240 of 34 bytes md5 ")
+    assert caps[1].ocr_text == "hello spark world of data"  # 5 tokens, lowered
+    assert caps[2].caption.startswith("image 160x120 of 0 bytes md5 d41d8cd9")
+    assert caps[2].ocr_text == ""
+
+    links = spark.createDataFrame(
+        [(10, 1, 1), (10, 2, 2)], "query_id long, media_id long, rank int"
+    )
+    ctxs = ita_contexts(links, media_captions(media)).collect()
+    by_rank = {r.rank: r.sentence for r in ctxs}
+    assert set(by_rank) == {1, 2, 3, 4}
+    assert by_rank[1].startswith("image 320x240")   # caption of rank-1 image
+    assert by_rank[2] == "hello spark world of data"  # its OCR
+    assert by_rank[3].startswith("image 160x120")
+    assert by_rank[4] == ""
