@@ -21,7 +21,10 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, max_iters: int = 20, local_threshold: int = 2_000_000
+    edges: DataFrame,
+    max_iters: int = 20,
+    local_threshold: int = 2_000_000,
+    local_threshold_bytes: int = 128 * 1024 * 1024,
 ) -> DataFrame:
     """edges(src, dst) undirected -> (node, component) with component = the
     lexicographically smallest node in the component (matches the oracle
@@ -29,26 +32,41 @@ def connected_components(
 
     Hybrid strategy: alias/redirect graphs are DIMENSION-sized (~10^7-10^8
     edges for all of Wikipedia — far below corpus scale), so when the edge
-    count is under `local_threshold` we run union-find on the driver in one
-    pass instead of paying O(diameter) Spark jobs of pure scheduling latency.
-    Above the threshold, distributed min-label propagation (below) takes
-    over unchanged. Both produce identical (node, component) output.
-    """
-    # single bounded collect doubles as the size probe (<= threshold) and the
-    # input to driver union-find — no separate count job
-    rows = [
-        (r[0], r[1])
-        for r in edges.select("src", "dst").limit(local_threshold + 1).collect()
-    ]
-    if len(rows) <= local_threshold:
-        from kgner.linkops import connected_components as uf
+    list fits the driver we run union-find in one pass instead of paying
+    O(diameter) Spark jobs of pure scheduling latency. Above the threshold,
+    distributed min-label propagation (below) takes over unchanged. Both
+    produce identical (node, component) output.
 
-        comp = uf(rows)
-        spark = edges.sparkSession
-        return spark.createDataFrame(
-            sorted(comp.items()), "node string, component string"
+    The local bound is BYTE-aware, not just row-count: a tiny probe estimates
+    average edge width, and the row cap shrinks so the bounded collect stays
+    under `local_threshold_bytes` — 2M edges of wide node strings would
+    otherwise land several hundred MB on the driver.
+    """
+    PROBE = 1024
+    probe = [
+        (r[0], r[1]) for r in edges.select("src", "dst").limit(PROBE).collect()
+    ]
+    if len(probe) < PROBE:
+        rows = probe  # the probe WAS the whole graph
+    else:
+        # ~98 bytes of PyObject/tuple overhead per edge beyond the characters
+        avg_bytes = (
+            sum(len(s or "") + len(d or "") for s, d in probe) / len(probe) + 98
         )
-    return _cc_distributed(edges, max_iters)
+        row_cap = min(local_threshold, int(local_threshold_bytes / avg_bytes))
+        rows = [
+            (r[0], r[1])
+            for r in edges.select("src", "dst").limit(row_cap + 1).collect()
+        ]
+        if len(rows) > row_cap:
+            return _cc_distributed(edges, max_iters)
+    from kgner.linkops import connected_components as uf
+
+    comp = uf(rows)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        sorted(comp.items()), "node string, component string"
+    )
 
 
 def _cc_distributed(edges: DataFrame, max_iters: int = 20) -> DataFrame:

@@ -250,3 +250,41 @@ def test_media_captions_and_ita_routing(spark):
     assert by_rank[2] == "hello spark world of data"  # its OCR
     assert by_rank[3].startswith("image 160x120")
     assert by_rank[4] == ""
+
+
+# --- byte-aware CC threshold ------------------------------------------------
+
+def test_cc_wide_strings_fall_through_to_distributed(spark, monkeypatch):
+    """An edge list whose BYTES exceed the budget must take the distributed
+    path even when its row count is far under local_threshold."""
+    import kgner.operators.canonicalize as canon
+
+    calls = {"distributed": 0}
+    orig = canon._cc_distributed
+
+    def spy(edges, max_iters=20):
+        calls["distributed"] += 1
+        return orig(edges, max_iters)
+
+    monkeypatch.setattr(canon, "_cc_distributed", spy)
+    wide = "x" * 2000
+    # 50 stars x 30 leaves = 1500 edges, diameter 2
+    rows = [
+        (f"{wide}hub{h:02d}", f"{wide}hub{h:02d}leaf{l:02d}")
+        for h in range(50)
+        for l in range(30)
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    # ~6 MB of characters, budget 1 MB -> distributed despite only 1500 rows
+    comp = canon.connected_components(
+        edges, max_iters=10, local_threshold_bytes=1 * 1024 * 1024
+    )
+    assert calls["distributed"] == 1
+    got = comp.agg(F.countDistinct("component")).collect()[0][0]
+    assert got == 50
+
+    # same graph under a roomy budget stays local and agrees
+    calls["distributed"] = 0
+    local = canon.connected_components(edges)
+    assert calls["distributed"] == 0
+    assert local.agg(F.countDistinct("component")).collect()[0][0] == 50
