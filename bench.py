@@ -192,6 +192,79 @@ def run_scaling_workload(spark, inflate: int = 448, n_pages: int = 800) -> tuple
     return sorted(times)[len(times) // 2], n
 
 
+def run_skew_workload(spark, inflate: int = 48, n_pages: int = 400) -> dict:
+    """Skewed-hot-domain extract->mentions run, salting OFF vs ON — the
+    measured value of the pipeline's salt_buckets skew guard
+    (kgner/pipeline.py stage_extracted).
+
+    Input models a domain-clustered crawl ingest: ~75% of pages belong to one
+    hot domain, and pages arrive hash-partitioned BY DOMAIN (repartition on
+    the host), so unsalted the hot domain is one straggler task. The salted
+    variant applies the pipeline's exact skew guard — repartition on
+    (domain hash, random salt) — before the same map-heavy work. Same input
+    cache, same python-worker warmup; the difference is pure partition-shape.
+    """
+    from pyspark.sql import functions as F
+
+    from kgner.fixtures import build_fixtures, to_spark
+    from kgner.operators.canonicalize import canonical_map
+    from kgner.operators.kbbuild import alias_edges
+    from kgner.operators.mentions import (
+        detect_mentions_from_pages,
+        prepare_alias_broadcast,
+    )
+
+    fx = build_fixtures(n_entities=150, n_pages=n_pages, giant_pages=0)
+    t = to_spark(spark, fx)
+    h = F.xxhash64("url", "rep")
+    domain = F.when(
+        F.pmod(h, F.lit(8)) != 0, F.lit("hot.example")  # ~87.5% of rows
+    ).otherwise(F.concat(F.lit("site"), F.pmod(h, F.lit(40)).cast("string"), F.lit(".example")))
+    n_parts = spark.sparkContext.defaultParallelism * 4
+    pages = (
+        t["pages"]
+        .select("url", "lang", "html")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(inflate - 1))))
+        .withColumn(
+            "url",
+            F.concat(F.lit("http://"), domain, F.lit("/"), F.abs(h).cast("string")),
+        )
+        .drop("rep")
+        # domain-clustered ingest: the hot domain lands in ONE partition
+        .repartition(n_parts, F.parse_url(F.col("url"), F.lit("HOST")))
+        .cache()
+    )
+    pages.count()
+    canon = canonical_map(
+        alias_edges(t["kb_pages"], t["redirects"]), t["kb_pages"].select("title")
+    )
+    b_alias = prepare_alias_broadcast(spark, canon)
+
+    def job(src):
+        return detect_mentions_from_pages(spark, src, alias_broadcast=b_alias)
+
+    # warm python workers at full width (fork+imports are once-per-executor
+    # costs on a real cluster, not per-job)
+    job(pages.sample(0.02, seed=1).repartition(n_parts)).count()
+
+    out: dict = {}
+    dom = F.parse_url(F.col("url"), F.lit("HOST"))
+    salt = (F.rand(seed=42) * 32).cast("int")
+    variants = {
+        "unsalted_sec": lambda: pages,
+        "salted_sec": lambda: pages.repartition(n_parts, F.xxhash64(dom), salt),
+    }
+    n = 0
+    for label, mk in variants.items():
+        t0 = time.monotonic()
+        n = job(mk()).count()
+        out[label] = round(time.monotonic() - t0, 3)
+    pages.unpersist()
+    out["n_mentions"] = n
+    out["speedup"] = round(out["unsalted_sec"] / out["salted_sec"], 2)
+    return out
+
+
 def one_session(master: str, shuffle_partitions: int, sf_dir: str, kg: bool):
     from kgner.session import get_spark
 
@@ -199,11 +272,12 @@ def one_session(master: str, shuffle_partitions: int, sf_dir: str, kg: bool):
     spark.sparkContext.setLogLevel("ERROR")
     queries = run_queries(spark, sf_dir)
     total = round(sum(queries.values()), 3)  # sum of reported per-query times
-    kg_sec = kg_triples = None
+    kg_sec = kg_triples = skew = None
     if kg:
         kg_sec, kg_triples = run_kg_pipeline(spark)
+        skew = run_skew_workload(spark)
     spark.stop()
-    return total, queries, kg_sec, kg_triples
+    return total, queries, kg_sec, kg_triples, skew
 
 
 def scale_run(master: str, parts: int) -> None:
@@ -233,7 +307,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    total, queries, kg_sec, kg_triples = one_session(
+    total, queries, kg_sec, kg_triples, skew = one_session(
         f"local[{cpus}]", 32, sf_dir, kg=True
     )
     result = {
@@ -245,6 +319,7 @@ def main() -> None:
         "kg_pipeline_sec": round(kg_sec, 3),
         "kg_triples": kg_triples,
         "triples_per_sec": round(kg_triples / kg_sec, 1),
+        "skew_salting": skew,
     }
 
     if os.environ.get("KGNER_SCALING") == "1":
