@@ -7,8 +7,12 @@ entry(spark)   -> flagship KG-construction query on /root/testdata/sf0.001:
                   triple materialization).
 queries()      -> one entry per implemented operator (see kgner/queries.py;
                   each docstring cites the SURVEY.md §2 operator it covers).
-oracle_sql()   -> matching DuckDB SQL; minhash_lsh/simhash_dups are rows-only
-                  (engine-specific 64-bit hashes), unit-tested instead.
+oracle_sql()   -> matching DuckDB SQL for every query except approx_distinct
+                  (HLL sketch values are engine-specific; exact variant
+                  `distinct_users` is oracle-checked). Hash-family queries
+                  (minhash_lsh, simhash_dups, tfidf_features) run md5-derived
+                  stable hashes the oracle reproduces exactly; production
+                  operators default to xxhash64.
 """
 
 from __future__ import annotations

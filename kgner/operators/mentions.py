@@ -186,16 +186,21 @@ def mentions_by_join(
     import pandas as pd  # noqa: F811
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized greedy non-overlap: token positions are small ints, so
+        # track occupancy in a boolean array — accepting a candidate is an
+        # O(len) slice op, no per-row python objects (was pdf.iterrows())
+        import numpy as np
+
         pdf = pdf.sort_values("rk")
-        chosen: list[tuple[int, int]] = []
-        keep = []
-        for _, row in pdf.iterrows():
-            s, e = row["start"], row["end"]
-            if all(e <= cs or s >= ce for cs, ce in chosen):
-                chosen.append((s, e))
-                keep.append(True)
-            else:
-                keep.append(False)
-        return pdf[pd.Series(keep, index=pdf.index)].drop(columns=["rk"])
+        starts = pdf["start"].to_numpy()
+        ends = pdf["end"].to_numpy()
+        occupied = np.zeros(int(ends.max()) if len(ends) else 0, dtype=bool)
+        keep = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            s, e = int(starts[i]), int(ends[i])
+            if not occupied[s:e].any():
+                occupied[s:e] = True
+                keep[i] = True
+        return pdf[keep].drop(columns=["rk"])
 
     return ranked.groupBy("url", "sent_id").applyInPandas(pick, MENTIONS_SCHEMA)
