@@ -170,6 +170,105 @@ def lsh_topk(
     )
 
 
+def sampled_centroids(
+    vectors: DataFrame, n: int, vec_id: str = "vec_id", vcol: str = "embedding"
+) -> DataFrame:
+    """Deterministic centroid stand-in: the n smallest-id vectors. At scale
+    the centroids come from k-means over a sample; ivf_topk takes ANY small
+    (centroid_id, embedding) frame, so swapping in learned centroids is a
+    drop-in."""
+    return (
+        vectors.orderBy(F.col(vec_id).asc())
+        .limit(n)
+        .select(F.col(vec_id).alias("centroid_id"), F.col(vcol).alias("embedding"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    vectors: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    query_id: str = "query_id",
+    vec_id: str = "vec_id",
+    qcol: str = "embedding",
+    vcol: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the data-dependent refinement of the
+    hyperplane LSH path — same bucket-equi-join topology, but cells follow
+    the data distribution (IVF_FLAT).
+
+    1. ASSIGN: each corpus vector goes to its nearest centroid by cosine
+       (round-6 with centroid-id tiebreak, so the assignment is exactly
+       reproducible by the SQL oracle). The centroid table is a model-sized
+       artifact: it ships as ONE broadcast row of structs, the argmin is a
+       per-row array expression — map-only, no shuffle, constant plan size
+       (the _with_band_buckets trick).
+    2. PROBE: each query ranks the same centroids and takes the `nprobe`
+       nearest cells.
+    3. exact cosine within probed cells, window top-k.
+
+    At 100 TB: assignment is one map pass; the probe join touches roughly
+    nprobe/n_centroids of the corpus; hot cells are the skew axis (use more
+    centroids, or AQE skew split on the cell join).
+    """
+    spark = vectors.sparkSession
+    cent_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select("centroid_id", "embedding").collect()
+    ]
+    cent_df = spark.createDataFrame(
+        [(cent_rows,)], "__cents array<struct<cid:bigint, v:array<double>>>"
+    )
+
+    def ranked_cells(col_vec):
+        # struct<negcos, cid> sorts lexicographically == cosine desc, cid asc
+        return F.array_sort(
+            F.transform(
+                F.col("__cents"),
+                lambda s: F.struct(
+                    (-F.round(cosine_col(s["v"], col_vec), 6)).alias("negcos"),
+                    s["cid"].alias("cid"),
+                ),
+            )
+        )
+
+    assigned = (
+        vectors.select(vec_id, F.col(vcol).alias("__v"))
+        .crossJoin(F.broadcast(cent_df))
+        .withColumn("cell", F.get(ranked_cells(F.col("__v")), 0)["cid"])
+        .drop("__cents")
+    )
+    probed = (
+        queries.select(query_id, F.col(qcol).alias("__q"))
+        .crossJoin(F.broadcast(cent_df))
+        .select(
+            query_id,
+            "__q",
+            F.explode(
+                F.transform(
+                    F.slice(ranked_cells(F.col("__q")), 1, nprobe),
+                    lambda s: s["cid"],
+                )
+            ).alias("cell"),
+        )
+    )
+    scored = probed.join(assigned, "cell").select(
+        query_id,
+        vec_id,
+        F.round(cosine_col(F.col("__q"), F.col("__v")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(vec_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", vec_id, "cosine")
+    )
+
+
 def cosine_near_dup_pairs(
     vectors: DataFrame,
     dim: int,

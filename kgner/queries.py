@@ -1747,6 +1747,61 @@ WHERE rank <= 5
 """
 
 
+def q_ivf_ann(spark, sf_dir):
+    """ANN scale path: IVF_FLAT — assign every vector to its nearest of 8
+    deterministic centroids (round-6 cosine, centroid-id tiebreak), probe the
+    2 nearest cells per query (vec_id < 3), exact cosine top-5 inside probed
+    cells. The oracle replays assignment, probing and scoring exactly, so
+    the APPROXIMATE result set itself is hash-checked."""
+    from kgner.operators.similarity import ivf_topk, sampled_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = sampled_centroids(v, 8)
+    q = v.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(q, v, cents, k=5, nprobe=2)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "cosine",
+    )
+
+
+ORACLE_IVF = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents AS (SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id ASC LIMIT 8),
+vc AS (
+  SELECT v.vec_id, v.v, c.cid,
+         round(list_dot_product(v.v, c.cv)
+               / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+  FROM v CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn FROM vc
+  ) WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+    FROM vc WHERE vec_id < 3
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(p.qv, a.v)
+               / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+  FROM probe p JOIN assign a USING (cid)
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
 def q_embedding_label_centroids(spark, sf_dir):
     """Vector agg: per-label centroid norm (rounded) — array math JVM-side."""
     e = _t(spark, sf_dir, "embeddings")
@@ -1821,6 +1876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pattern_flags": q_pattern_flags,
     "tfidf_features": q_tfidf_features,
     "cosine_topk": q_cosine_topk,
+    "ivf_ann": q_ivf_ann,
     "embedding_label_centroids": q_embedding_label_centroids,
 }
 
@@ -1869,5 +1925,6 @@ ORACLES: dict[str, str] = {
     "pattern_flags": ORACLE_PATTERN_FLAGS,
     "tfidf_features": ORACLE_TFIDF,  # md5-hashed features: engines agree exactly
     "cosine_topk": ORACLE_COSINE_TOPK,
+    "ivf_ann": ORACLE_IVF,  # IVF assignment+probe replayed exactly in SQL
     "embedding_label_centroids": ORACLE_CENTROIDS,
 }

@@ -288,3 +288,31 @@ def test_cc_wide_strings_fall_through_to_distributed(spark, monkeypatch):
     local = canon.connected_components(edges)
     assert calls["distributed"] == 0
     assert local.agg(F.countDistinct("component")).collect()[0][0] == 50
+
+
+# --- IVF ANN --------------------------------------------------------------------
+
+def test_ivf_topk_duplicate_probe_recall(spark):
+    """An exact-duplicate probe shares its duplicate's cell by construction,
+    so IVF always returns it at rank 1 (cosine 1.0); and every result must
+    come from a probed cell (candidate set strictly smaller than the corpus)."""
+    import numpy as np
+
+    from kgner.operators.similarity import ivf_topk, sampled_centroids
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 16)
+    vecs = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = sampled_centroids(vecs, 6)
+    queries = spark.createDataFrame(
+        [(100 + i, base[10 + i].tolist()) for i in range(4)],
+        "query_id long, embedding array<double>",
+    )
+    top = ivf_topk(queries, vecs, cents, k=3, nprobe=2)
+    rows = top.collect()
+    got1 = {r.query_id: (r.vec_id, r.cosine) for r in rows if r.rank == 1}
+    assert {q: v[0] for q, v in got1.items()} == {100 + i: 10 + i for i in range(4)}
+    assert all(abs(v[1] - 1.0) < 1e-9 for v in got1.values())
