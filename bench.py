@@ -197,9 +197,10 @@ def run_skew_workload(spark, inflate: int = 48, n_pages: int = 400) -> dict:
     measured value of the pipeline's salt_buckets skew guard
     (kgner/pipeline.py stage_extracted).
 
-    Input models a domain-clustered crawl ingest: ~75% of pages belong to one
-    hot domain, and pages arrive hash-partitioned BY DOMAIN (repartition on
-    the host), so unsalted the hot domain is one straggler task. The salted
+    Input models a domain-clustered crawl ingest: 87.5% of pages belong to
+    one hot domain (the rest spread over 40 cold domains), and pages arrive
+    hash-partitioned BY DOMAIN (repartition on the host), so unsalted the
+    hot domain is one straggler task. The salted
     variant applies the pipeline's exact skew guard — repartition on
     (domain hash, random salt) — before the same map-heavy work. Same input
     cache, same python-worker warmup; the difference is pure partition-shape.
@@ -217,9 +218,12 @@ def run_skew_workload(spark, inflate: int = 48, n_pages: int = 400) -> dict:
     fx = build_fixtures(n_entities=150, n_pages=n_pages, giant_pages=0)
     t = to_spark(spark, fx)
     h = F.xxhash64("url", "rep")
+    # cold-domain id from an INDEPENDENT hash — pmod(h, 40) conditioned on
+    # pmod(h, 8) == 0 would only ever hit the 5 multiples of 8
+    h2 = F.xxhash64("url", "rep", F.lit(1))
     domain = F.when(
-        F.pmod(h, F.lit(8)) != 0, F.lit("hot.example")  # ~87.5% of rows
-    ).otherwise(F.concat(F.lit("site"), F.pmod(h, F.lit(40)).cast("string"), F.lit(".example")))
+        F.pmod(h, F.lit(8)) != 0, F.lit("hot.example")  # 87.5% of rows
+    ).otherwise(F.concat(F.lit("site"), F.pmod(h2, F.lit(40)).cast("string"), F.lit(".example")))
     n_parts = spark.sparkContext.defaultParallelism * 4
     pages = (
         t["pages"]

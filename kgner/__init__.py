@@ -34,5 +34,9 @@ def __getattr__(name: str):
     raise AttributeError(f"module 'kgner' has no attribute {name!r}")
 
 
+__all__ = sorted(_LAZY)  # keeps `from kgner import *` working (PEP 562
+# __getattr__ is not consulted by star-import without __all__)
+
+
 def __dir__():
     return sorted(list(globals()) + list(_LAZY))

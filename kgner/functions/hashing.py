@@ -38,5 +38,88 @@ def stable_hash64_col(c: Column) -> Column:
 
 def stable_seeded_hash_fn(c: Column, seed: int) -> Column:
     """Seeded unsigned variant for minhash permutation families:
-    h_seed(x) = stable_hash64_u(seed || ':' || x)."""
+    h_seed(x) = stable_hash64_u(seed || ':' || x). Costs one md5 PER SEED —
+    prefer stable_affine_hash_fn, which derives every seed from one md5."""
     return stable_hash64_u(F.concat(F.lit(f"{seed}:"), c))
+
+
+# Universal-hash permutation family over the Mersenne prime 2^61-1:
+# h_i(x) = (a_i * (md5_64(x) mod p) + b_i) mod p. ONE md5 per row (Catalyst
+# subexpression elimination shares it across all min-aggregates); the affine
+# step is exact integer arithmetic both engines reproduce bit-for-bit
+# (decimal(38,0) here — Spark ANSI mode forbids wrapping long multiply —
+# HUGEINT in DuckDB). Constants are md5-derived so any engine can re-derive
+# the family.
+MERSENNE61 = (1 << 61) - 1
+
+
+def _affine_constants(n: int = 64) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(n):
+        a = (
+            int.from_bytes(hashlib.md5(f"minhash-a-{i}".encode()).digest()[:8], "big")
+            % (MERSENNE61 - 1)
+        ) + 1  # a in [1, p)
+        b = (
+            int.from_bytes(hashlib.md5(f"minhash-b-{i}".encode()).digest()[:8], "big")
+            % MERSENNE61
+        )
+        out.append((a, b))
+    return out
+
+
+AFFINE_CONSTANTS = _affine_constants()
+
+
+def stable_base_p61(c: Column) -> Column:
+    """md5-derived base value in [0, 2^61-1) as a LONG — compute ONCE per
+    row (materialize as a column), then fan out to seeds with affine_perm."""
+    return F.pmod(stable_hash64_u(c), F.lit(MERSENNE61)).cast("long")
+
+
+def _mulmod_p61(h: Column, a: int) -> Column:
+    """(h * a) mod 2^61-1 in pure long arithmetic, ANSI-safe (every
+    intermediate < 2^63): split both operands at 2^31 and fold the power
+    terms with the Mersenne identity 2^61 ≡ 1 (mod p). Whole-stage-codegen
+    long ops — no decimal, no overflow, bit-identical to the oracle's
+    HUGEINT formula."""
+    P = MERSENNE61
+    a1, a0 = a >> 31, a & ((1 << 31) - 1)
+    h1 = F.shiftright(h, 31)  # < 2^30
+    h0 = h.bitwiseAND(F.lit((1 << 31) - 1))
+    # a*h = a1*h1*2^62 + (a1*h0 + a0*h1)*2^31 + a0*h0;  2^62 ≡ 2 (mod p)
+    t2 = F.pmod(h1 * F.lit(2 * a1), F.lit(P))
+    mid = F.pmod(h0 * F.lit(a1) + h1 * F.lit(a0), F.lit(P))
+    # mid*2^31 ≡ (mid >> 30) + ((mid & (2^30-1)) << 31)  (mod p)
+    mid31 = F.pmod(
+        F.shiftleft(mid.bitwiseAND(F.lit((1 << 30) - 1)), 31) + F.shiftright(mid, 30),
+        F.lit(P),
+    )
+    t0 = F.pmod(h0 * F.lit(a0), F.lit(P))
+    return F.pmod(t2 + mid31 + t0, F.lit(P))
+
+
+def affine_perm(h: Column, seed: int) -> Column:
+    """h in [0, p) -> (a_seed * h + b_seed) mod p, p = 2^61-1. Long-only."""
+    a, b = AFFINE_CONSTANTS[seed]
+    return F.pmod(_mulmod_p61(h, a) + F.lit(b), F.lit(MERSENNE61))
+
+
+def stable_affine_hash_fn(c: Column, seed: int) -> Column:
+    """Oracle-reproducible seeded hash: one md5-derived base value, then the
+    seed's affine permutation mod 2^61-1. Returns a non-negative LONG (same
+    ordering in any engine — no signedness games). When hashing the SAME
+    column under many seeds, materialize stable_base_p61 once and apply
+    affine_perm per seed instead (minhash_signatures does this)."""
+    return affine_perm(stable_base_p61(c), seed)
+
+
+def affine_oracle_seeds_sql(num: int) -> str:
+    """DuckDB VALUES relation (seed, a, b) matching AFFINE_CONSTANTS."""
+    rows = ", ".join(
+        f"({i}, {a}::HUGEINT, {b}::HUGEINT)"
+        for i, (a, b) in enumerate(AFFINE_CONSTANTS[:num])
+    )
+    return f"(VALUES {rows}) s(seed, a, b)"

@@ -24,7 +24,7 @@ def connected_components(
     edges: DataFrame,
     max_iters: int = 20,
     local_threshold: int = 2_000_000,
-    local_threshold_bytes: int = 128 * 1024 * 1024,
+    local_threshold_bytes: int = 256 * 1024 * 1024,
 ) -> DataFrame:
     """edges(src, dst) undirected -> (node, component) with component = the
     lexicographically smallest node in the component (matches the oracle
@@ -40,7 +40,10 @@ def connected_components(
     The local bound is BYTE-aware, not just row-count: a tiny probe estimates
     average edge width, and the row cap shrinks so the bounded collect stays
     under `local_threshold_bytes` — 2M edges of wide node strings would
-    otherwise land several hundred MB on the driver.
+    otherwise land several hundred MB on the driver. The defaults are sized
+    so the byte cap does NOT undercut the row cap for ordinary short-string
+    edges (2M rows x ~(98 + chars) bytes fits 256 MB up to ~30-char nodes);
+    it only bites on wide-string graphs.
     """
     PROBE = 1024
     probe = [

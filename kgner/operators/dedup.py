@@ -119,23 +119,38 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn=None,
+    base_fn=None,
+    perm_fn=None,
 ) -> DataFrame:
     """-> (doc_id, sig array<bigint>) minhash signatures.
 
-    h_i(x) = hash_fn(shingle, seed=i) — default xxhash64(shingle, i), the
-    fast production hash; pass kgner.functions.hashing.stable_seeded_hash_fn
-    for md5-derived signatures a SQL oracle can reproduce. signature_i = min
-    over shingles. Entirely JVM-side: explode shingles once, aggregate
-    num_hashes mins in a single groupBy (map-side combinable) — no UDF, one
-    shuffle.
+    Two hash modes:
+    - hash_fn(shingle_col, seed) per seed — default xxhash64(shingle, i),
+      the fast production hash.
+    - base_fn(shingle_col) + perm_fn(h_col, seed): universal-hash family —
+      the base hash is materialized ONCE per shingle row and each seed is an
+      affine permutation of it (kgner.functions.hashing.stable_base_p61 /
+      affine_perm give the md5-derived, SQL-oracle-reproducible family at a
+      fraction of per-seed hashing cost).
+
+    signature_i = min over shingles. Entirely JVM-side: explode shingles
+    once, aggregate num_hashes mins in a single groupBy (map-side
+    combinable) — no UDF, one shuffle.
     """
-    if hash_fn is None:
-        hash_fn = lambda c, seed: F.xxhash64(c, F.lit(seed))  # noqa: E731
     sh = shingle_df(docs, n, id_col, text_col)
-    mins = [
-        F.min(hash_fn(F.col("shingle"), i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if base_fn is not None:
+        sh = sh.withColumn("__h", base_fn(F.col("shingle")))
+        mins = [
+            F.min(perm_fn(F.col("__h"), i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        if hash_fn is None:
+            hash_fn = lambda c, seed: F.xxhash64(c, F.lit(seed))  # noqa: E731
+        mins = [
+            F.min(hash_fn(F.col("shingle"), i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -151,6 +166,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn=None,
+    base_fn=None,
+    perm_fn=None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs verified by exact Jaccard on signatures.
 
@@ -159,7 +176,9 @@ def minhash_lsh_pairs(
     then thresholded. Returns (doc_a, doc_b, est_jaccard).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col, hash_fn)
+    sigs = minhash_signatures(
+        docs, num_hashes, n, id_col, text_col, hash_fn, base_fn, perm_fn
+    )
     band_cols = F.explode(
         F.array(
             *[

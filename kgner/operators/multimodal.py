@@ -140,14 +140,17 @@ def media_captions(
                         "deterministic_fake=True is the tested path"
                     )
                 digest = hashlib.md5(payload).hexdigest()[:8]
+                # metadata columns are nullable ints — 0 is the explicit
+                # "unknown dimension" in the caption, same policy as b""
+                w = int(width) if pd.notna(width) else 0
+                hgt = int(height) if pd.notna(height) else 0
                 caption = (
-                    f"image {int(width)}x{int(height)} of {len(payload)} "
-                    f"bytes md5 {digest}"
+                    f"image {w}x{hgt} of {len(payload)} bytes md5 {digest}"
                 )
                 text = payload.decode("utf-8", "replace").strip()
                 toks = re.split(r"[ \t\n\r\f\v]+", text) if text else [""]
                 ocr = " ".join(toks[:ocr_tokens]).lower()
-                rows.append((int(mid), caption, ocr))
+                rows.append((int(mid) if pd.notna(mid) else -1, caption, ocr))
                 acc += len(payload)
                 if acc >= max_batch_bytes:
                     yield flush(rows)

@@ -173,15 +173,20 @@ def bm25_topk(
 
 def highlight_col(sentence: Column, matched_terms: Column) -> Column:
     """ES-style highlight (kb/generate_data.py:44-48: pre_tags ["<hit>"],
-    post_tags ["</hit>"]): wrap each whitespace token whose lowercase form is
-    a matched term. Token-rebuild rather than regexp_replace — a matched term
-    like "hit" must not re-match inside an inserted <hit> tag, and the
-    postings themselves are whitespace tokens so this marks exactly the
-    positions that scored. JVM-only (transform/array_contains)."""
+    post_tags ["</hit>"]): wrap each space-delimited token whose lowercase
+    form is a matched term. Token-rebuild rather than regexp_replace — a
+    matched term like "hit" must not re-match inside an inserted <hit> tag.
+
+    Splits on a SINGLE literal space so the original text round-trips
+    byte-identically in unmatched regions (runs of spaces survive as empty
+    array elements that concat_ws re-emits). Tokens containing tabs/newlines
+    are left unmarked — sentence text from the splitter is space-delimited,
+    so in practice this marks exactly the positions that scored. JVM-only
+    (transform/array_contains)."""
     return F.concat_ws(
         " ",
         F.transform(
-            F.split(sentence, r"\s+"),
+            F.split(sentence, " ", -1),
             lambda t: F.when(
                 F.array_contains(matched_terms, F.lower(t)),
                 F.concat(F.lit("<hit>"), t, F.lit("</hit>")),

@@ -222,22 +222,27 @@ def ivf_topk(
         [(cent_rows,)], "__cents array<struct<cid:bigint, v:array<double>>>"
     )
 
-    def ranked_cells(col_vec):
-        # struct<negcos, cid> sorts lexicographically == cosine desc, cid asc
-        return F.array_sort(
-            F.transform(
-                F.col("__cents"),
-                lambda s: F.struct(
-                    (-F.round(cosine_col(s["v"], col_vec), 6)).alias("negcos"),
-                    s["cid"].alias("cid"),
-                ),
-            )
+    def scored_cells(col_vec):
+        # struct<negcos, cid> orders lexicographically == cosine desc, cid asc
+        return F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                (-F.round(cosine_col(s["v"], col_vec), 6)).alias("negcos"),
+                s["cid"].alias("cid"),
+            ),
         )
+
+    def ranked_cells(col_vec):
+        return F.array_sort(scored_cells(col_vec))
 
     assigned = (
         vectors.select(vec_id, F.col(vcol).alias("__v"))
         .crossJoin(F.broadcast(cent_df))
-        .withColumn("cell", F.get(ranked_cells(F.col("__v")), 0)["cid"])
+        # assignment only needs the argmin: array_min is one O(C) pass per
+        # corpus row — this IS the map pass over the whole corpus, so no
+        # O(C log C) sort + struct-array materialization here (the probe
+        # side below sorts, but over the tiny query set)
+        .withColumn("cell", F.array_min(scored_cells(F.col("__v")))["cid"])
         .drop("__cents")
     )
     probed = (

@@ -17,16 +17,6 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def stable_feature_hash(c: Column) -> Column:
-    """First 8 md5 bytes as an unsigned 64-bit number (JVM-side; the Column
-    twin of kgner.textops.stable_hash64's magnitude). Any md5-capable engine
-    reproduces it — DuckDB: ('0x' || substr(md5(x),1,16))::UBIGINT — which is
-    what makes md5-hashed features ORACLE-CHECKABLE, unlike xxhash64."""
-    from kgner.functions.hashing import stable_hash64_u
-
-    return stable_hash64_u(c)
-
-
 def tfidf_vectors(
     docs: DataFrame,
     dim: int = 64,
@@ -40,7 +30,8 @@ def tfidf_vectors(
     idf = ln(1 + N/df) over the hashed feature space; tf = in-doc count.
     With l2_normalize the output plugs straight into cosine similarity.
     hash_fn: token Column -> integerish Column; xxhash64 (default) is the
-    fast production hash, stable_feature_hash the cross-engine-checkable one.
+    fast production hash, kgner.functions.hashing.stable_hash64_u the
+    cross-engine-checkable one.
     """
     from kgner.functions.text import tokens_col
 

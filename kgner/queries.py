@@ -561,12 +561,13 @@ WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.999
 def q_minhash_lsh(spark, sf_dir):
     """Dedup #3: MinHash+LSH near-dup pairs over self-doubled documents.
 
-    HASH-CHECKED: the contract variant uses md5-derived seeded minhashes
-    (kgner.functions.hashing.stable_seeded_hash_fn) that DuckDB reproduces
+    HASH-CHECKED: the contract variant uses the md5-seeded UNIVERSAL-HASH
+    minhash family (kgner.functions.hashing.stable_affine_hash_fn — one md5
+    per shingle, 16 affine permutations mod 2^61-1) that DuckDB reproduces
     exactly, so the whole shingle -> 16 permutation mins -> 4-band bucket
     join -> signature-Jaccard verify pipeline is oracle-verified. Production
     keeps xxhash64 (unit-tested in tests/test_dataops.py)."""
-    from kgner.functions.hashing import stable_seeded_hash_fn
+    from kgner.functions.hashing import affine_perm, stable_base_p61
     from kgner.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -575,7 +576,7 @@ def q_minhash_lsh(spark, sf_dir):
     )
     return minhash_lsh_pairs(
         doubled, num_hashes=16, bands=4, threshold=0.999,
-        hash_fn=stable_seeded_hash_fn,
+        base_fn=stable_base_p61, perm_fn=affine_perm,
     ).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -597,8 +598,10 @@ WITH d AS (
   FROM t
 ), m AS (
   SELECT doc_id, s.seed,
-         min(('0x' || substr(md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 16))::UBIGINT) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed) s
+         min(CAST(((('0x' || substr(md5(shingle), 1, 16))::UBIGINT
+                    % 2305843009213693951)::HUGEINT * s.a + s.b)
+                  % 2305843009213693951 AS BIGINT)) AS mh
+  FROM sh CROSS JOIN {seeds}
   GROUP BY 1, 2
 ), sig AS (
   SELECT doc_id, list(mh ORDER BY seed) AS sig FROM m GROUP BY 1
@@ -620,6 +623,11 @@ SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        round(est_jaccard, 6) AS est_jaccard
 FROM est WHERE est_jaccard >= 0.999
 """
+
+# inject the (seed, a, b) affine-permutation constants shared with Spark
+from kgner.functions.hashing import affine_oracle_seeds_sql as _affine_seeds  # noqa: E402
+
+ORACLE_MINHASH = ORACLE_MINHASH.replace("{seeds}", _affine_seeds(16))
 
 
 def q_simhash_dups(spark, sf_dir):
@@ -1590,14 +1598,15 @@ FROM documents
 def q_tfidf_features(spark, sf_dir):
     """Vectorizer: hashed TF-IDF — nonzero-feature count + un-normalized L2
     norm per doc. HASH-CHECKED: the contract variant hashes features with
-    stable_feature_hash (first 8 md5 bytes), which DuckDB reproduces exactly,
+    stable_hash64_u (first 8 md5 bytes), which DuckDB reproduces exactly,
     so the whole hashing-trick pipeline (tokenize -> feature bucket -> tf ->
     df -> idf -> weights) is oracle-verified. Production keeps xxhash64
     (tests/test_vectorize.py covers that path)."""
-    from kgner.operators.vectorize import stable_feature_hash, tfidf_vectors
+    from kgner.functions.hashing import stable_hash64_u
+    from kgner.operators.vectorize import tfidf_vectors
 
     d = _t(spark, sf_dir, "documents")
-    v = tfidf_vectors(d, dim=64, l2_normalize=False, hash_fn=stable_feature_hash)
+    v = tfidf_vectors(d, dim=64, l2_normalize=False, hash_fn=stable_hash64_u)
     return v.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.filter("vector", lambda x: x != 0.0)).cast("long").alias("n_nonzero"),
@@ -1903,7 +1912,6 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "minhash_lsh": ORACLE_MINHASH,  # md5-seeded minhashes: engines agree exactly
     "simhash_dups": ORACLE_SIMHASH,  # md5 token hashes; hamming-0 == equality
-    # minhash_lsh, simhash_dups: rows-only (engine-specific hashes)
     "token_counts": ORACLE_TOKEN_COUNTS,
     "lang_id": ORACLE_LANG_ID,
     "quality": ORACLE_QUALITY,

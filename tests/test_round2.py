@@ -316,3 +316,35 @@ def test_ivf_topk_duplicate_probe_recall(spark):
     got1 = {r.query_id: (r.vec_id, r.cosine) for r in rows if r.rank == 1}
     assert {q: v[0] for q, v in got1.items()} == {100 + i: 10 + i for i in range(4)}
     assert all(abs(v[1] - 1.0) < 1e-9 for v in got1.values())
+
+
+# --- affine universal-hash family parity ----------------------------------------
+
+def test_affine_perm_matches_python_model(spark):
+    """Spark's split-multiply mod 2^61-1 (pure long ops) must equal plain
+    Python big-int arithmetic for the same constants — the property the
+    DuckDB oracle's HUGEINT formula relies on."""
+    import hashlib
+
+    from kgner.functions.hashing import (
+        AFFINE_CONSTANTS,
+        MERSENNE61,
+        affine_perm,
+        stable_base_p61,
+    )
+
+    toks = ["spark joins", "", "a", "données", "x" * 100, "123 456"]
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    cols = [stable_base_p61(F.col("tok")).alias("h")] + [
+        affine_perm(stable_base_p61(F.col("tok")), i).alias(f"p{i}")
+        for i in range(4)
+    ]
+    rows = {r.tok: r for r in df.select("tok", *cols).collect()}
+
+    for t in toks:
+        u = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        h = u % MERSENNE61
+        assert rows[t].h == h, t
+        for i in range(4):
+            a, b = AFFINE_CONSTANTS[i]
+            assert rows[t][f"p{i}"] == (a * h + b) % MERSENNE61, (t, i)
