@@ -178,6 +178,69 @@ def tag_with_posterior_ensemble(
     return src.mapInPandas(run, PRED_SCHEMA)
 
 
+NBEST_SCHEMA = "url string, sent_id int, rank int, tags array<string>, score double"
+
+
+def tag_nbest_with_crf(
+    sentences: DataFrame,
+    weights: np.ndarray,
+    transitions: np.ndarray,
+    tagset: list[str],
+    nbest: int = 2,
+    embed_fn: Callable[[list[str]], np.ndarray] = hash_embedding,
+    token_budget: int = 8192,
+    length_sorted: bool = True,
+) -> DataFrame:
+    """n-best CRF inference: (url, sent_id, rank, tags, score) with rank 1 =
+    the Viterbi path — one output row per kept path
+    (kgner.spanops.viterbi_nbest; reference _viterbi_decode_nbest,
+    flair/models/sequence_tagger_model.py:1660-1778). Feeds n-best
+    re-ranking / ensemble variants; same batching shape as tag_with_crf."""
+    from kgner.spanops import viterbi_nbest
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode_rows(rows: list[tuple[str, int, list[str]]]) -> pd.DataFrame:
+            out: list[tuple[str, int, int, list[str], float]] = []
+            for url, sid, toks in rows:
+                if not toks:
+                    out.append((url, sid, 1, [], 0.0))
+                    continue
+                em = embed_fn(list(toks)) @ weights
+                for r, (path, score) in enumerate(
+                    viterbi_nbest(em, transitions, nbest), start=1
+                ):
+                    out.append((url, sid, r, [tagset[i] for i in path], score))
+            return pd.DataFrame(
+                {
+                    "url": pd.Series([o[0] for o in out], dtype="object"),
+                    "sent_id": pd.Series([o[1] for o in out], dtype="int32"),
+                    "rank": pd.Series([o[2] for o in out], dtype="int32"),
+                    "tags": pd.Series([o[3] for o in out], dtype="object"),
+                    "score": pd.Series([o[4] for o in out], dtype="float64"),
+                }
+            )
+
+        for pdf in batches:
+            rows: list[tuple[str, int, list[str]]] = []
+            acc = 0
+            for url, sid, toks in zip(pdf["url"], pdf["sent_id"], pdf["tokens"]):
+                toks = list(toks) if toks is not None else []
+                rows.append((url, int(sid), toks))
+                acc += len(toks)
+                if acc >= token_budget:
+                    yield decode_rows(rows)
+                    rows, acc = [], 0
+            if rows:
+                yield decode_rows(rows)
+
+    src = sentences.select("url", "sent_id", "tokens", "subtoken_len")
+    if length_sorted:
+        src = src.repartitionByRange(F.col("subtoken_len")).sortWithinPartitions(
+            "subtoken_len"
+        )
+    return src.mapInPandas(run, NBEST_SCHEMA)
+
+
 def make_gazetteer_model(
     tagset: list[str], alias_tokens: dict[str, str], dim: int = 32
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -114,3 +114,24 @@ def test_posterior_ensemble_operator(spark):
     )
     tags = tag_with_posterior_ensemble(sents, models, tagset, embed_fn=embed)
     assert tags.collect()[0].tags == ["O", "B-ENT", "I-ENT", "O"]
+
+
+def test_tag_nbest_operator(spark):
+    """Spark n-best operator: rank 1 equals the Viterbi tags, scores are
+    non-increasing, paths distinct."""
+    from kgner.operators.inference import tag_nbest_with_crf, tag_with_crf
+
+    rng = np.random.RandomState(13)
+    tagset = ["O", "B-X", "I-X"]
+    dim = 32  # hash_embedding's default width
+    w = rng.randn(dim, 3)
+    trans = rng.randn(5, 5)
+    sents = spark.createDataFrame(
+        [("u", 0, ["alpha", "beta", "gamma", "delta"], 4)],
+        "url string, sent_id int, tokens array<string>, subtoken_len int",
+    )
+    nb = {r.rank: r for r in tag_nbest_with_crf(sents, w, trans, tagset, nbest=3).collect()}
+    best = tag_with_crf(sents, w, trans, tagset).collect()[0].tags
+    assert nb[1].tags == best
+    assert nb[1].score >= nb[2].score >= nb[3].score
+    assert len({tuple(nb[r].tags) for r in nb}) == 3
