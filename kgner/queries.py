@@ -1361,6 +1361,108 @@ FROM g GROUP BY doc_id, isl
 """.replace("{gaz}", GAZ_SQL)
 
 
+def q_span_f1_by_label(spark, sf_dir):
+    """A-2/A-5 per-type table: conlleval's per-label P/R/F1 lines
+    (conlleval_perl.py:207-350 prints one row per entity type). Label = the
+    span's first token (deterministic type stand-in). The proxy model
+    predicts (a) every gold span of length <= 2 and (b) a spurious
+    single-token span at position 1 of every document — so per-label fp, fn
+    and tp are all exercised. Same single-plan shape as span_f1: full_outer
+    on the labeled span key + one per-label agg."""
+    spans = (
+        q_entity_spans(spark, sf_dir)
+        .select(
+            "doc_id",
+            "start_pos",
+            "span_len",
+            F.get(F.split(F.col("span_text"), " "), 0).alias("label"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    d = _t(spark, sf_dir, "documents")
+    first_tok = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit(1).cast("long").alias("start_pos"),
+        F.lit(1).cast("long").alias("span_len"),
+        F.get(_toks(F.col("text")), 0).alias("label"),
+    )
+    key = ["doc_id", "start_pos", "span_len", "label"]
+    gold = spans.withColumn("__g", F.lit(1))
+    pred = (
+        spans.filter(F.col("span_len") <= 2)
+        .unionByName(first_tok)
+        .dropDuplicates(key)
+        .withColumn("__p", F.lit(1))
+    )
+    both = gold.join(pred, key, "full_outer")
+    m = both.groupBy("label").agg(
+        F.sum(
+            F.when(F.col("__g").isNotNull() & F.col("__p").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("__g").isNull(), 1).otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when(F.col("__p").isNull(), 1).otherwise(0)).cast("long").alias("fn"),
+    )
+    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = 2 * p * r / F.greatest(p + r, F.lit(1e-12))
+    return m.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.round(p, 6).alias("precision"),
+        F.round(r, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+ORACLE_SPAN_F1_BY_LABEL = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id, tok, ord,
+         ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+  FROM t WHERE tok IN {gaz}
+), gold AS (
+  SELECT doc_id, min(ord) AS start_pos, count(*) AS span_len,
+         min_by(tok, ord) AS label
+  FROM g GROUP BY doc_id, isl
+), pred AS (
+  SELECT DISTINCT * FROM (
+    SELECT doc_id, start_pos, span_len, label FROM gold WHERE span_len <= 2
+    UNION ALL
+    SELECT doc_id, 1 AS start_pos, 1 AS span_len,
+           regexp_split_to_array(trim(lower(text)), '\s+')[1] AS label
+    FROM documents
+  )
+), joined AS (
+  SELECT coalesce(g.label, p.label) AS label,
+         CASE WHEN g.doc_id IS NOT NULL AND p.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_tp,
+         CASE WHEN g.doc_id IS NULL THEN 1 ELSE 0 END AS is_fp,
+         CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END AS is_fn
+  FROM gold g FULL OUTER JOIN pred p
+    ON g.doc_id = p.doc_id AND g.start_pos = p.start_pos
+   AND g.span_len = p.span_len AND g.label = p.label
+), m AS (
+  SELECT label, sum(is_tp) AS tp, sum(is_fp) AS fp, sum(is_fn) AS fn
+  FROM joined GROUP BY label
+)
+SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision,
+       round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
+       round(2.0 * (CAST(tp AS DOUBLE) / greatest(tp + fp, 1))
+                 * (CAST(tp AS DOUBLE) / greatest(tp + fn, 1))
+             / greatest(CAST(tp AS DOUBLE) / greatest(tp + fp, 1)
+                        + CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 1e-12), 6) AS f1
+FROM m
+""".replace("{gaz}", GAZ_SQL)
+
+
 def q_cube_counts(spark, sf_dir):
     """Metrics layer: cube(lang, source) lineage counts with grouping id
     (SURVEY §2.D note: cube/rollup absent in reference, used by our
@@ -1874,6 +1976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_entity_boost": q_bm25_entity_boost,
     "bioes_tags": q_bioes_tags,
     "span_f1": q_span_f1,
+    "span_f1_by_label": q_span_f1_by_label,
     "cube_counts": q_cube_counts,
     "stratified_head": q_stratified_head,
     "approx_distinct": q_approx_distinct,
@@ -1922,6 +2025,7 @@ ORACLES: dict[str, str] = {
     "bm25_entity_boost": ORACLE_BM25_BOOST,
     "bioes_tags": ORACLE_BIOES,
     "span_f1": ORACLE_SPAN_F1,
+    "span_f1_by_label": ORACLE_SPAN_F1_BY_LABEL,
     "cube_counts": ORACLE_CUBE,
     "stratified_head": ORACLE_STRATIFIED,
     # approx_distinct: rows-only (HLL sketch values are engine-specific)
