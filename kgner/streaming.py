@@ -68,3 +68,73 @@ def stream_mention_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+FIRST_SEEN_STATE_SCHEMA = "seen boolean"
+FIRST_SEEN_OUT_SCHEMA = "fingerprint bigint, doc_id bigint"
+
+
+def stream_first_seen_docs(
+    spark: SparkSession,
+    docs_dir: str,
+    docs_schema: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """Custom STATEFUL streaming operator: cross-micro-batch exact dedup.
+
+    Incoming docs are fingerprinted (xxhash64 of normalized text, the same
+    first-pass key as operators.dedup.exact_dedup); `applyInPandasWithState`
+    keeps one boolean per fingerprint in the state store and emits each
+    fingerprint ONCE — the min-doc_id row of the micro-batch where it first
+    appeared. Re-crawled duplicates in later batches emit nothing. Returns
+    the StreamingQuery (availableNow).
+
+    Scale notes: state is one boolean per distinct fingerprint, hash-
+    partitioned by the groupBy key — the streaming twin of the exact-dedup
+    shuffle. Output mode is append (emitted rows are final). In production
+    the state store is RocksDB-backed and the fingerprint space can be
+    range-aged with a timeout when dedup only needs a recency horizon.
+    """
+    import pandas as pd
+
+    from kgner.operators.dedup import _norm_text
+
+    def first_seen(key, pdfs, state):
+        if state.exists:
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = int(pdf["doc_id"].min())
+                best = m if best is None else min(best, m)
+        if best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame({"fingerprint": [int(key[0])], "doc_id": [best]})
+
+    docs = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+    )
+    fp = docs.select(
+        F.xxhash64(_norm_text(F.col("text"))).alias("fingerprint"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    deduped = fp.groupBy("fingerprint").applyInPandasWithState(
+        first_seen,
+        outputStructType=FIRST_SEEN_OUT_SCHEMA,
+        stateStructType=FIRST_SEEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

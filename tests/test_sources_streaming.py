@@ -121,3 +121,46 @@ def test_streaming_mention_counts(spark, tmp_path):
     )
     want = {r["entity_id"]: r["n"] for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """Stateful cross-batch dedup: a fingerprint re-arriving in a later
+    micro-batch emits nothing; each fingerprint surfaces exactly once with
+    the min doc_id of its first-seen batch — matching batch exact_dedup's
+    fingerprint set."""
+    from pyspark.sql import functions as F
+
+    from kgner.operators.dedup import exact_dedup
+    from kgner.streaming import stream_first_seen_docs
+
+    docs_dir = str(tmp_path / "docs_in")
+    schema = "doc_id long, text string"
+    wave1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha   beta")],  # 3 dups 1
+        schema,
+    )
+    wave2 = spark.createDataFrame(
+        [(10, "ALPHA beta"), (11, "epsilon zeta")],  # 10 dups wave1's alpha
+        schema,
+    )
+    wave1.coalesce(1).write.mode("append").parquet(docs_dir)
+    wave2.coalesce(1).write.mode("append").parquet(docs_dir)
+
+    q = stream_first_seen_docs(
+        spark,
+        docs_dir,
+        schema,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r.fingerprint: r.doc_id for r in out.collect()}
+
+    batch = exact_dedup(wave1.unionByName(wave2))
+    want_fps = {r.fingerprint for r in batch.collect()}
+    assert set(rows) == want_fps          # one row per distinct fingerprint
+    assert len(rows) == 3                 # alpha-beta, gamma-delta, epsilon-zeta
+    assert set(rows.values()) & {1, 2}    # first-seen ids from wave1 present
+    assert 10 not in rows.values()        # wave2's duplicate suppressed
