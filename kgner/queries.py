@@ -677,6 +677,67 @@ FROM sim a JOIN sim b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
 """
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """Dedup #5: near-dup RESOLUTION — ngram-Jaccard pairs (threshold 0.999
+    on the self-doubled corpus) -> connected components over the pair graph
+    -> min-doc_id survivor per cluster (operators.dedup.dedup_keep_min, the
+    CC machinery of operators/canonicalize.py). Oracle: transitive closure
+    via a recursive CTE, survivor = node that IS its component minimum."""
+    from kgner.operators.dedup import dedup_keep_min, ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    pairs = ngram_jaccard_pairs(doubled, n=3, threshold=0.999)
+    survivors = dedup_keep_min(doubled, pairs)
+    return survivors.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+ORACLE_DEDUP_SURVIVORS = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+), t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM d
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)] END
+         )) AS shingle
+  FROM t
+), freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
+shb AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM freq)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shb GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shb a JOIN shb b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.999
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), nodes AS (
+  SELECT DISTINCT a AS node FROM edges
+), reach AS (
+  -- transitive closure: UNION (set semantics) terminates at the fixpoint
+  WITH RECURSIVE r AS (
+    SELECT node, node AS m FROM nodes
+    UNION
+    SELECT e.b AS node, r.m FROM r JOIN edges e ON e.a = r.node
+  ) SELECT * FROM r
+), losers AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> min(m)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id
+FROM d WHERE doc_id NOT IN (SELECT node FROM losers)
+"""
+
+
 def q_token_counts(spark, sf_dir):
     """Curation: whitespace + BPE-ish token counting."""
     d = _t(spark, sf_dir, "documents")
@@ -1966,6 +2027,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_dups": q_simhash_dups,
+    "dedup_survivors": q_dedup_survivors,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "quality": q_quality,
@@ -2015,6 +2077,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "minhash_lsh": ORACLE_MINHASH,  # md5-seeded minhashes: engines agree exactly
     "simhash_dups": ORACLE_SIMHASH,  # md5 token hashes; hamming-0 == equality
+    "dedup_survivors": ORACLE_DEDUP_SURVIVORS,  # CC keep-min vs recursive closure
     "token_counts": ORACLE_TOKEN_COUNTS,
     "lang_id": ORACLE_LANG_ID,
     "quality": ORACLE_QUALITY,
