@@ -259,7 +259,10 @@ def ivf_topk(
             ).alias("cell"),
         )
     )
-    scored = probed.join(assigned, "cell").select(
+    # corpus side stays put; the probe side (n_queries x nprobe rows) is the
+    # small side of an ANN lookup — broadcast it so the cell join is map-only
+    # over the assigned corpus (no corpus shuffle)
+    scored = assigned.join(F.broadcast(probed), "cell").select(
         query_id,
         vec_id,
         F.round(cosine_col(F.col("__q"), F.col("__v")), 6).alias("cosine"),
