@@ -82,17 +82,20 @@ def kb_sentences(kb_pages: DataFrame) -> DataFrame:
 
 def kb_index(kb_sents: DataFrame) -> tuple[DataFrame, DataFrame]:
     """kb_sentences -> (postings(term, doc_id, tf), docs(doc_id, len, title,
-    url, sentence)).
+    url, sentence, paragraph)).
 
     doc_id = dense per-sentence id derived from xxhash64(title,p_id,s_id) —
     deterministic, no global ordering pass (at 10^12 docs a row_number over
-    everything is a non-starter).
+    everything is a non-starter). `paragraph` rides along so retrieval rows
+    can carry the reference's paragraph field
+    (kb/generate_data.py:65: hit tuple includes _source.paragraph).
     """
     docs = kb_sents.select(
         F.xxhash64("title", "p_id", "s_id").alias("doc_id"),
         "title",
         "url",
         "sentence",
+        "paragraph",
         F.size(tokens_col(F.col("sentence"))).alias("len"),
     )
     postings = (

@@ -43,7 +43,8 @@ def bm25_topk(
     max_df_ratio: float | None = None,
 ) -> DataFrame:
     """-> retrievals(query_id, rank, doc_id, score, sentence, title, url,
-    matched_terms array<string>, highlight string).
+    [paragraph,] matched_terms array<string>, highlight string) —
+    paragraph included when the docs table carries it.
 
     queries: (query_id, tokens array<string>) — tokens already lowercased.
     boost_entities: optional (query_id, entity string) rows; adds the
@@ -152,10 +153,13 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
+    # paragraph rides along when the docs table has it (the reference's
+    # retrieval rows carry _source.paragraph, kb/generate_data.py:65)
+    extra = ["paragraph"] if "paragraph" in docs.columns else []
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .join(docs.select("doc_id", "sentence", "title", "url"), "doc_id")
+        .join(docs.select("doc_id", "sentence", "title", "url", *extra), "doc_id")
         .withColumn("highlight", highlight_col(F.col("sentence"), F.col("matched_terms")))
         .select(
             "query_id",
@@ -165,6 +169,7 @@ def bm25_topk(
             "sentence",
             "title",
             "url",
+            *extra,
             "matched_terms",
             "highlight",
         )
