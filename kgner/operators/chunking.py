@@ -21,23 +21,36 @@ def chunk_by_subtokens(
     df: DataFrame,
     budget: int,
     tokens_col: str = "tokens",
+    stride: int = 0,
 ) -> DataFrame:
-    """Explode rows whose token count exceeds `budget` into consecutive
-    chunks of at most `budget` tokens: every non-token column passes through
-    unchanged and (chunk_id, chunk_tokens) are added.
+    """Explode rows whose token count exceeds `budget` into chunks of at
+    most `budget` tokens: every non-token column passes through unchanged
+    and (chunk_id, chunk_tokens) are added.
+
+    stride=0 (default): consecutive non-overlapping chunks (the reference's
+    chunk_sentence, flair/data.py:704-715). stride>0: OVERLAPPING windows
+    advancing by budget - stride with the reference's encode_plus window
+    semantics (flair/embeddings.py:3202-3229) — every chunk but the last has
+    exactly `budget` tokens and consecutive chunks share `stride` tokens;
+    the numpy twin is kgner.operators.align.stride_windows (whose seam-cut
+    reconstruction consumes these windows). All JVM: sequence of window
+    starts -> slice -> posexplode; no Python.
 
     Order within the original row is preserved by chunk_id; rows within
     budget come through as a single chunk 0 — so downstream inference UDFs
-    see bounded inputs regardless of input length (M-2 window semantics with
-    stride = budget; overlapping strides are a parameter away if needed).
+    see bounded inputs regardless of input length.
     """
+    if not 0 <= stride < budget:
+        raise ValueError(f"need 0 <= stride < budget, got {stride}, {budget}")
     toks = F.col(tokens_col)
-    n_chunks = F.greatest(
-        F.ceil(F.size(toks) / F.lit(budget)).cast("int"), F.lit(1)
-    )
+    advance = budget - stride
+    # number of windows over n tokens: 1 + ceil(max(n - budget, 0) / advance)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.size(toks) - F.lit(budget), F.lit(0)) / F.lit(advance)
+    ).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(toks, i * budget + 1, budget),
+        lambda i: F.slice(toks, i * advance + 1, budget),
     )
     # keep every non-token column (callers' labels/lang/etc. survive)
     passthrough = [c for c in df.columns if c != tokens_col]

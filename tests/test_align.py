@@ -137,3 +137,46 @@ def test_tag_with_crf_windowed_matches_whole(spark):
     ).collect()[0].tags
     assert windowed == plain
     assert "B-ENT" in plain
+
+
+def test_chunk_by_subtokens_stride_matches_stride_windows(spark):
+    """The JVM overlapping chunker must produce exactly the windows the numpy
+    stride_windows computes (whose seam-cut reconstruction consumes them)."""
+    toks = [f"t{i}" for i in range(23)]
+    df = spark.createDataFrame([(1, toks)], "id long, tokens array<string>")
+
+    from kgner.operators.chunking import chunk_by_subtokens
+
+    for budget, stride in [(8, 4), (8, 0), (7, 3), (23, 0), (30, 10)]:
+        got = {
+            r.chunk_id: list(r.chunk_tokens)
+            for r in chunk_by_subtokens(df, budget, stride=stride).collect()
+        }
+        want = stride_windows(len(toks), budget, stride)
+        assert len(got) == len(want), (budget, stride)
+        for cid, (s, e) in enumerate(want):
+            assert got[cid] == toks[s:e], (budget, stride, cid)
+
+
+def test_stride_windows_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        n=st.integers(min_value=0, max_value=400),
+        L=st.integers(min_value=2, max_value=64),
+        S=st.integers(min_value=0, max_value=63),
+    )
+    def check(n, L, S):
+        if not S < L:
+            return
+        if n == 0:
+            return
+        ws = stride_windows(n, L, S)
+        assert ws[0][0] == 0 and ws[-1][1] == n
+        parts = [np.arange(s, e, dtype=float).reshape(-1, 1) for s, e in ws]
+        rec = reconstruct_windows(parts, ws, S)
+        np.testing.assert_array_equal(rec[:, 0], np.arange(n, dtype=float))
+
+    check()
