@@ -44,33 +44,33 @@ def stable_seeded_hash_fn(c: Column, seed: int) -> Column:
 
 
 # Universal-hash permutation family over the Mersenne prime 2^61-1:
-# h_i(x) = (a_i * (md5_64(x) mod p) + b_i) mod p. ONE md5 per row (Catalyst
-# subexpression elimination shares it across all min-aggregates); the affine
-# step is exact integer arithmetic both engines reproduce bit-for-bit
-# (decimal(38,0) here — Spark ANSI mode forbids wrapping long multiply —
-# HUGEINT in DuckDB). Constants are md5-derived so any engine can re-derive
-# the family.
+# h_i(x) = (a_i * (md5_64(x) mod p) + b_i) mod p. ONE md5 per row (the base
+# is materialized as a column by callers); the affine step is exact integer
+# arithmetic both engines reproduce bit-for-bit — split-multiply pure LONG
+# ops in Spark (_mulmod_p61; ANSI mode forbids wrapping long multiply and
+# decimal(38,0) arithmetic measured ~2x slower), HUGEINT in DuckDB.
+# Constants are md5-derived per seed so any engine (and any seed count) can
+# re-derive the family.
 MERSENNE61 = (1 << 61) - 1
 
 
-def _affine_constants(n: int = 64) -> list[tuple[int, int]]:
+def affine_constants(seed: int) -> tuple[int, int]:
+    """(a, b) for seed i — derivable for ANY i, no table bound."""
     import hashlib
 
-    out = []
-    for i in range(n):
-        a = (
-            int.from_bytes(hashlib.md5(f"minhash-a-{i}".encode()).digest()[:8], "big")
-            % (MERSENNE61 - 1)
-        ) + 1  # a in [1, p)
-        b = (
-            int.from_bytes(hashlib.md5(f"minhash-b-{i}".encode()).digest()[:8], "big")
-            % MERSENNE61
-        )
-        out.append((a, b))
-    return out
+    a = (
+        int.from_bytes(hashlib.md5(f"minhash-a-{seed}".encode()).digest()[:8], "big")
+        % (MERSENNE61 - 1)
+    ) + 1  # a in [1, p)
+    b = (
+        int.from_bytes(hashlib.md5(f"minhash-b-{seed}".encode()).digest()[:8], "big")
+        % MERSENNE61
+    )
+    return a, b
 
 
-AFFINE_CONSTANTS = _affine_constants()
+# convenience view of the first 64 (tests; most families are <= 64 hashes)
+AFFINE_CONSTANTS = [affine_constants(i) for i in range(64)]
 
 
 def stable_base_p61(c: Column) -> Column:
@@ -102,8 +102,9 @@ def _mulmod_p61(h: Column, a: int) -> Column:
 
 
 def affine_perm(h: Column, seed: int) -> Column:
-    """h in [0, p) -> (a_seed * h + b_seed) mod p, p = 2^61-1. Long-only."""
-    a, b = AFFINE_CONSTANTS[seed]
+    """h in [0, p) -> (a_seed * h + b_seed) mod p, p = 2^61-1. Long-only;
+    any seed (constants derived on demand)."""
+    a, b = affine_constants(seed)
     return F.pmod(_mulmod_p61(h, a) + F.lit(b), F.lit(MERSENNE61))
 
 
@@ -117,9 +118,10 @@ def stable_affine_hash_fn(c: Column, seed: int) -> Column:
 
 
 def affine_oracle_seeds_sql(num: int) -> str:
-    """DuckDB VALUES relation (seed, a, b) matching AFFINE_CONSTANTS."""
+    """DuckDB VALUES relation (seed, a, b) matching affine_constants — any
+    `num`, same derivation as the Spark side."""
     rows = ", ".join(
-        f"({i}, {a}::HUGEINT, {b}::HUGEINT)"
-        for i, (a, b) in enumerate(AFFINE_CONSTANTS[:num])
+        f"({i}, {affine_constants(i)[0]}::HUGEINT, {affine_constants(i)[1]}::HUGEINT)"
+        for i in range(num)
     )
     return f"(VALUES {rows}) s(seed, a, b)"

@@ -40,10 +40,11 @@ def connected_components(
     The local bound is BYTE-aware, not just row-count: a tiny probe estimates
     average edge width, and the row cap shrinks so the bounded collect stays
     under `local_threshold_bytes` — 2M edges of wide node strings would
-    otherwise land several hundred MB on the driver. The defaults are sized
-    so the byte cap does NOT undercut the row cap for ordinary short-string
-    edges (2M rows x ~(98 + chars) bytes fits 256 MB up to ~30-char nodes);
-    it only bites on wide-string graphs.
+    otherwise land several hundred MB on the driver. With the defaults the
+    byte cap starts undercutting the 2M row cap at ~18 chars of node text
+    per edge (256 MB / (98 B overhead + chars)); dedup_keep_min's 20-char
+    encoded ids cut over at ~1.95M edges — the caps are deliberately the
+    same order so neither silently dominates.
     """
     PROBE = 1024
     probe = [

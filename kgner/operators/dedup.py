@@ -137,6 +137,10 @@ def minhash_signatures(
     once, aggregate num_hashes mins in a single groupBy (map-side
     combinable) — no UDF, one shuffle.
     """
+    if (base_fn is None) != (perm_fn is None):
+        raise ValueError("base_fn and perm_fn must be passed together")
+    if hash_fn is not None and base_fn is not None:
+        raise ValueError("pass either hash_fn OR (base_fn, perm_fn), not both")
     sh = shingle_df(docs, n, id_col, text_col)
     if base_fn is not None:
         sh = sh.withColumn("__h", base_fn(F.col("shingle")))

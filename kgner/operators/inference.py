@@ -11,7 +11,9 @@ and Viterbi decode are real numpy, identical math to the reference decode.
 Length-sorted batching (flair/custom_data_loader.py:84-149) maps to
 `repartitionByRange(subtoken_len) + sortWithinPartitions` before the UDF,
 and the UDF re-chunks by cumulative token budget so a batch of long
-sentences can't blow memory.
+sentences can't blow memory. All three decode operators (1-best, posterior
+ensemble, n-best) share that scaffold via `_batched_inference` — one place
+for batching semantics, one decode closure per operator.
 """
 
 from __future__ import annotations
@@ -26,6 +28,7 @@ from pyspark.sql import functions as F
 from kgner.spanops import viterbi_decode
 
 PRED_SCHEMA = "url string, sent_id int, tags array<string>"
+NBEST_SCHEMA = "url string, sent_id int, rank int, tags array<string>, score double"
 
 
 def hash_embedding(tokens: list[str], dim: int = 32) -> np.ndarray:
@@ -38,6 +41,51 @@ def hash_embedding(tokens: list[str], dim: int = 32) -> np.ndarray:
         arr = np.frombuffer((h * ((dim * 4) // 16 + 1))[: dim * 4], dtype=np.uint32)
         out[i] = (arr % 997) / 997.0
     return out
+
+
+def _batched_inference(
+    sentences: DataFrame,
+    decode_rows: Callable[[list], pd.DataFrame],
+    schema: str,
+    token_budget: int,
+    length_sorted: bool,
+) -> DataFrame:
+    """Shared inference scaffold: length-sorted partitioning + in-UDF
+    token-budget re-chunking (M-2/W-6), one decode closure per operator.
+    decode_rows: [(url, sent_id, tokens)] -> pd.DataFrame matching schema."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[str, int, list[str]]] = []
+            acc = 0
+            for url, sid, toks in zip(pdf["url"], pdf["sent_id"], pdf["tokens"]):
+                toks = list(toks) if toks is not None else []
+                rows.append((url, int(sid), toks))
+                acc += len(toks)
+                if acc >= token_budget:  # token-budget re-chunk
+                    yield decode_rows(rows)
+                    rows, acc = [], 0
+            if rows:
+                yield decode_rows(rows)
+
+    src = sentences.select("url", "sent_id", "tokens", "subtoken_len")
+    if length_sorted:
+        # pad-efficiency analogue of length-sorted batching: cluster similar
+        # lengths into the same partitions, sorted within each
+        src = src.repartitionByRange(F.col("subtoken_len")).sortWithinPartitions(
+            "subtoken_len"
+        )
+    return src.mapInPandas(run, schema)
+
+
+def _tags_frame(rows: list, tags_out: list) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "url": pd.Series([r[0] for r in rows], dtype="object"),
+            "sent_id": pd.Series([r[1] for r in rows], dtype="int32"),
+            "tags": pd.Series(tags_out, dtype="object"),
+        }
+    )
 
 
 def tag_with_crf(
@@ -66,59 +114,33 @@ def tag_with_crf(
     real transformer sees. When None (default), embed_fn embeds the raw
     token list directly (the token-level fast path).
     """
-    K = len(tagset)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def decode_rows(rows: list[tuple[str, int, list[str]]]) -> pd.DataFrame:
-            from kgner.operators.align import embed_tokens_windowed
+    def decode_rows(rows: list) -> pd.DataFrame:
+        from kgner.operators.align import embed_tokens_windowed
 
-            tags_out = []
-            for _, _, toks in rows:
-                if not toks:
-                    tags_out.append([])
-                    continue
-                if max_window is not None:
-                    embedded = embed_tokens_windowed(
-                        list(toks),
-                        embed_fn,
-                        max_len=max_window,
-                        stride=stride,
-                        pooling=pooling,
-                    )
-                else:
-                    embedded = embed_fn(list(toks))
-                em = embedded @ weights  # (T, K)
-                path = viterbi_decode(em, transitions)
-                tags_out.append([tagset[i] for i in path])
-            return pd.DataFrame(
-                {
-                    "url": pd.Series([r[0] for r in rows], dtype="object"),
-                    "sent_id": pd.Series([r[1] for r in rows], dtype="int32"),
-                    "tags": pd.Series(tags_out, dtype="object"),
-                }
-            )
+        tags_out = []
+        for _, _, toks in rows:
+            if not toks:
+                tags_out.append([])
+                continue
+            if max_window is not None:
+                embedded = embed_tokens_windowed(
+                    list(toks),
+                    embed_fn,
+                    max_len=max_window,
+                    stride=stride,
+                    pooling=pooling,
+                )
+            else:
+                embedded = embed_fn(list(toks))
+            em = embedded @ weights  # (T, K)
+            path = viterbi_decode(em, transitions)
+            tags_out.append([tagset[i] for i in path])
+        return _tags_frame(rows, tags_out)
 
-        for pdf in batches:
-            rows: list[tuple[str, int, list[str]]] = []
-            acc = 0
-            for url, sid, toks in zip(pdf["url"], pdf["sent_id"], pdf["tokens"]):
-                toks = list(toks) if toks is not None else []
-                rows.append((url, int(sid), toks))
-                acc += len(toks)
-                if acc >= token_budget:  # token-budget re-chunk (M-2/W-6)
-                    yield decode_rows(rows)
-                    rows, acc = [], 0
-            if rows:
-                yield decode_rows(rows)
-
-    src = sentences.select("url", "sent_id", "tokens", "subtoken_len")
-    if length_sorted:
-        # pad-efficiency analogue of length-sorted batching: cluster similar
-        # lengths into the same partitions, sorted within each
-        src = src.repartitionByRange(F.col("subtoken_len")).sortWithinPartitions(
-            "subtoken_len"
-        )
-    return src.mapInPandas(run, PRED_SCHEMA)
+    return _batched_inference(
+        sentences, decode_rows, PRED_SCHEMA, token_budget, length_sorted
+    )
 
 
 def tag_with_posterior_ensemble(
@@ -137,48 +159,22 @@ def tag_with_posterior_ensemble(
     and batching shape as tag_with_crf."""
     from kgner.spanops import posterior_vote_decode
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def decode_rows(rows: list[tuple[str, int, list[str]]]) -> pd.DataFrame:
-            tags_out = []
-            for _, _, toks in rows:
-                if not toks:
-                    tags_out.append([])
-                    continue
-                emb = embed_fn(list(toks))
-                path = posterior_vote_decode(
-                    [emb @ w for w, _ in models], [t for _, t in models]
-                )
-                tags_out.append([tagset[i] for i in path])
-            return pd.DataFrame(
-                {
-                    "url": pd.Series([r[0] for r in rows], dtype="object"),
-                    "sent_id": pd.Series([r[1] for r in rows], dtype="int32"),
-                    "tags": pd.Series(tags_out, dtype="object"),
-                }
+    def decode_rows(rows: list) -> pd.DataFrame:
+        tags_out = []
+        for _, _, toks in rows:
+            if not toks:
+                tags_out.append([])
+                continue
+            emb = embed_fn(list(toks))
+            path = posterior_vote_decode(
+                [emb @ w for w, _ in models], [t for _, t in models]
             )
+            tags_out.append([tagset[i] for i in path])
+        return _tags_frame(rows, tags_out)
 
-        for pdf in batches:
-            rows: list[tuple[str, int, list[str]]] = []
-            acc = 0
-            for url, sid, toks in zip(pdf["url"], pdf["sent_id"], pdf["tokens"]):
-                toks = list(toks) if toks is not None else []
-                rows.append((url, int(sid), toks))
-                acc += len(toks)
-                if acc >= token_budget:
-                    yield decode_rows(rows)
-                    rows, acc = [], 0
-            if rows:
-                yield decode_rows(rows)
-
-    src = sentences.select("url", "sent_id", "tokens", "subtoken_len")
-    if length_sorted:
-        src = src.repartitionByRange(F.col("subtoken_len")).sortWithinPartitions(
-            "subtoken_len"
-        )
-    return src.mapInPandas(run, PRED_SCHEMA)
-
-
-NBEST_SCHEMA = "url string, sent_id int, rank int, tags array<string>, score double"
+    return _batched_inference(
+        sentences, decode_rows, PRED_SCHEMA, token_budget, length_sorted
+    )
 
 
 def tag_nbest_with_crf(
@@ -195,50 +191,39 @@ def tag_nbest_with_crf(
     the Viterbi path — one output row per kept path
     (kgner.spanops.viterbi_nbest; reference _viterbi_decode_nbest,
     flair/models/sequence_tagger_model.py:1660-1778). Feeds n-best
-    re-ranking / ensemble variants; same batching shape as tag_with_crf."""
+    re-ranking / ensemble variants; same batching shape as tag_with_crf.
+
+    Row-count contract: a sentence yields min(nbest, #distinct paths) rows;
+    an EMPTY sentence has exactly one path (the empty one), so it yields a
+    single rank-1 row with tags=[] and score 0 — consumers joining rank 1
+    against rank 2..n must expect the tail ranks to be absent for such rows.
+    """
     from kgner.spanops import viterbi_nbest
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def decode_rows(rows: list[tuple[str, int, list[str]]]) -> pd.DataFrame:
-            out: list[tuple[str, int, int, list[str], float]] = []
-            for url, sid, toks in rows:
-                if not toks:
-                    out.append((url, sid, 1, [], 0.0))
-                    continue
-                em = embed_fn(list(toks)) @ weights
-                for r, (path, score) in enumerate(
-                    viterbi_nbest(em, transitions, nbest), start=1
-                ):
-                    out.append((url, sid, r, [tagset[i] for i in path], score))
-            return pd.DataFrame(
-                {
-                    "url": pd.Series([o[0] for o in out], dtype="object"),
-                    "sent_id": pd.Series([o[1] for o in out], dtype="int32"),
-                    "rank": pd.Series([o[2] for o in out], dtype="int32"),
-                    "tags": pd.Series([o[3] for o in out], dtype="object"),
-                    "score": pd.Series([o[4] for o in out], dtype="float64"),
-                }
-            )
-
-        for pdf in batches:
-            rows: list[tuple[str, int, list[str]]] = []
-            acc = 0
-            for url, sid, toks in zip(pdf["url"], pdf["sent_id"], pdf["tokens"]):
-                toks = list(toks) if toks is not None else []
-                rows.append((url, int(sid), toks))
-                acc += len(toks)
-                if acc >= token_budget:
-                    yield decode_rows(rows)
-                    rows, acc = [], 0
-            if rows:
-                yield decode_rows(rows)
-
-    src = sentences.select("url", "sent_id", "tokens", "subtoken_len")
-    if length_sorted:
-        src = src.repartitionByRange(F.col("subtoken_len")).sortWithinPartitions(
-            "subtoken_len"
+    def decode_rows(rows: list) -> pd.DataFrame:
+        out: list[tuple[str, int, int, list[str], float]] = []
+        for url, sid, toks in rows:
+            if not toks:
+                out.append((url, sid, 1, [], 0.0))
+                continue
+            em = embed_fn(list(toks)) @ weights
+            for r, (path, score) in enumerate(
+                viterbi_nbest(em, transitions, nbest), start=1
+            ):
+                out.append((url, sid, r, [tagset[i] for i in path], score))
+        return pd.DataFrame(
+            {
+                "url": pd.Series([o[0] for o in out], dtype="object"),
+                "sent_id": pd.Series([o[1] for o in out], dtype="int32"),
+                "rank": pd.Series([o[2] for o in out], dtype="int32"),
+                "tags": pd.Series([o[3] for o in out], dtype="object"),
+                "score": pd.Series([o[4] for o in out], dtype="float64"),
+            }
         )
-    return src.mapInPandas(run, NBEST_SCHEMA)
+
+    return _batched_inference(
+        sentences, decode_rows, NBEST_SCHEMA, token_budget, length_sorted
+    )
 
 
 def make_gazetteer_model(

@@ -133,6 +133,11 @@ def media_captions(
             for mid, payload, width, height in zip(
                 pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
             ):
+                if not pd.notna(mid):
+                    # a media row without an id can never join back to a
+                    # query (ita_contexts joins on media_id) — drop it rather
+                    # than alias distinct null-id rows onto a sentinel value
+                    continue
                 payload = bytes(payload) if payload is not None else b""
                 if not deterministic_fake:
                     raise NotImplementedError(
@@ -150,7 +155,7 @@ def media_captions(
                 text = payload.decode("utf-8", "replace").strip()
                 toks = re.split(r"[ \t\n\r\f\v]+", text) if text else [""]
                 ocr = " ".join(toks[:ocr_tokens]).lower()
-                rows.append((int(mid) if pd.notna(mid) else -1, caption, ocr))
+                rows.append((int(mid), caption, ocr))
                 acc += len(payload)
                 if acc >= max_batch_bytes:
                     yield flush(rows)

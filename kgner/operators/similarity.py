@@ -194,10 +194,17 @@ def ivf_topk(
     vec_id: str = "vec_id",
     qcol: str = "embedding",
     vcol: str = "embedding",
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the data-dependent refinement of the
     hyperplane LSH path — same bucket-equi-join topology, but cells follow
     the data distribution (IVF_FLAT).
+
+    broadcast_probes: True (default) for the lookup shape — few queries
+    against a big corpus; the probe side (n_queries x nprobe rows, each
+    carrying the query vector) broadcasts and the corpus joins map-only.
+    Set False for all-pairs-style uses (queries ~ corpus) where the probe
+    side is too big to broadcast — the cell join then shuffles both sides.
 
     1. ASSIGN: each corpus vector goes to its nearest centroid by cosine
        (round-6 with centroid-id tiebreak, so the assignment is exactly
@@ -262,7 +269,9 @@ def ivf_topk(
     # corpus side stays put; the probe side (n_queries x nprobe rows) is the
     # small side of an ANN lookup — broadcast it so the cell join is map-only
     # over the assigned corpus (no corpus shuffle)
-    scored = assigned.join(F.broadcast(probed), "cell").select(
+    if broadcast_probes:
+        probed = F.broadcast(probed)
+    scored = assigned.join(probed, "cell").select(
         query_id,
         vec_id,
         F.round(cosine_col(F.col("__q"), F.col("__v")), 6).alias("cosine"),

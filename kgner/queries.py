@@ -529,7 +529,10 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
-ORACLE_NGRAM_JACCARD = r"""
+# shared CTE prefix: self-doubled corpus -> blocked shingles -> pair
+# intersections. Composed (not copy-pasted) into BOTH ngram_jaccard and
+# dedup_survivors oracles so the pair semantics cannot drift apart.
+NGRAM_PAIRS_PREFIX = r"""
 WITH d AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents
@@ -548,7 +551,9 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM shb a JOIN shb b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+ORACLE_NGRAM_JACCARD = NGRAM_PAIRS_PREFIX + r"""
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter
@@ -694,26 +699,7 @@ def q_dedup_survivors(spark, sf_dir):
     return survivors.select(F.col("doc_id").cast("long").alias("doc_id"))
 
 
-ORACLE_DEDUP_SURVIVORS = r"""
-WITH d AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL SELECT doc_id + 1000000, text FROM documents
-), t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM d
-), sh AS (
-  SELECT doc_id, unnest(list_distinct(
-           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)] END
-         )) AS shingle
-  FROM t
-), freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
-shb AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM freq)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM shb GROUP BY 1),
-inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM shb a JOIN shb b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-), pairs AS (
+ORACLE_DEDUP_SURVIVORS = NGRAM_PAIRS_PREFIX + r""", pairs AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b

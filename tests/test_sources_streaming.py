@@ -162,5 +162,9 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     want_fps = {r.fingerprint for r in batch.collect()}
     assert set(rows) == want_fps          # one row per distinct fingerprint
     assert len(rows) == 3                 # alpha-beta, gamma-delta, epsilon-zeta
-    assert set(rows.values()) & {1, 2}    # first-seen ids from wave1 present
-    assert 10 not in rows.values()        # wave2's duplicate suppressed
+    # each fingerprint emitted exactly once with the min doc_id of whichever
+    # micro-batch the file source delivered first (file order between the
+    # two waves is an mtime tiebreak, not guaranteed) — the alpha-beta
+    # fingerprint surfaces as 1 (wave1 first) or 10 (wave2 first), never both
+    vals = sorted(rows.values())
+    assert vals in ([1, 2, 11], [2, 10, 11])
