@@ -55,3 +55,20 @@ def test_mentions_stage_is_map_only(spark, tables):
     )
     plan = _plan(detect_mentions(spark, sents, aliases))
     assert "Exchange" not in plan  # map-only: scan -> UDFs -> scan-out
+
+
+def test_ivf_probe_join_broadcasts(spark):
+    from kgner.queries import QUERIES
+
+    plan = _plan(QUERIES["ivf_ann"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_contract_is_jvm_only(spark):
+    """The md5-seeded affine minhash family must stay whole-stage-codegen
+    long arithmetic — no Python eval nodes anywhere in the contract query."""
+    from kgner.queries import QUERIES
+
+    plan = _plan(QUERIES["minhash_lsh"](spark, SF))
+    assert "Python" not in plan
