@@ -1408,6 +1408,65 @@ FROM g GROUP BY doc_id, isl
 """.replace("{gaz}", GAZ_SQL)
 
 
+def q_ensemble_spans(spark, sf_dir):
+    """A-1 end-to-end through the contract gate: 3 model predictions ->
+    real span-decode UDF -> vote groupBy -> per-sentence greedy majority pick
+    (ensemble_prediction.py:383-416 semantics via operators.ensemble).
+
+    Models 1-2 predict the gazetteer BIO tags; model 3 has its FIRST tag
+    forced to O, so islands touching position 1 lose one vote (2/3 — still
+    accepted) and model 3's stray shortened span (IOB1-tolerant decode of
+    [O, I-ENT, ...]) gets 1/3 votes — BELOW the 0.5*3 threshold. The oracle
+    is therefore exactly the gaz islands: if thresholding or the greedy pick
+    broke, the rejected 1-vote spans would surface and hash-mismatch."""
+    from kgner.operators.ensemble import ensemble_votes
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    tags = _gaz_bio_tags(toks)
+    base = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).cast("int").alias("sent_id"),
+        tags.alias("tags"),
+    )
+    degraded = F.when(
+        F.size("tags") > 0,
+        F.concat(
+            F.array(F.lit("O")),
+            F.slice(F.col("tags"), 2, F.greatest(F.size("tags") - 1, F.lit(0))),
+        ),
+    ).otherwise(F.col("tags"))
+    preds = (
+        base.withColumn("model_id", F.lit(1))
+        .unionByName(base.withColumn("model_id", F.lit(2)))
+        .unionByName(
+            base.withColumn("tags", degraded).withColumn("model_id", F.lit(3))
+        )
+    )
+    out = ensemble_votes(preds, threshold_ratio=0.5)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        (F.col("start") + 1).cast("long").alias("start_pos"),
+        (F.col("end") - F.col("start")).cast("long").alias("span_len"),
+    )
+
+
+ORACLE_ENSEMBLE = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id, ord, ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+  FROM t WHERE tok IN {gaz}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(ord) AS BIGINT) AS start_pos,
+       count(*) AS span_len
+FROM g GROUP BY doc_id, isl
+""".replace("{gaz}", GAZ_SQL)
+
+
 def q_span_f1_by_label(spark, sf_dir):
     """A-2/A-5 per-type table: conlleval's per-label P/R/F1 lines
     (conlleval_perl.py:207-350 prints one row per entity type). Label = the
@@ -2025,6 +2084,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bioes_tags": q_bioes_tags,
     "span_f1": q_span_f1,
     "span_f1_by_label": q_span_f1_by_label,
+    "ensemble_spans": q_ensemble_spans,
     "cube_counts": q_cube_counts,
     "stratified_head": q_stratified_head,
     "approx_distinct": q_approx_distinct,
@@ -2075,6 +2135,7 @@ ORACLES: dict[str, str] = {
     "bioes_tags": ORACLE_BIOES,
     "span_f1": ORACLE_SPAN_F1,
     "span_f1_by_label": ORACLE_SPAN_F1_BY_LABEL,
+    "ensemble_spans": ORACLE_ENSEMBLE,  # 1-vote spans rejected -> exactly the islands
     "cube_counts": ORACLE_CUBE,
     "stratified_head": ORACLE_STRATIFIED,
     # approx_distinct: rows-only (HLL sketch values are engine-specific)
