@@ -14,7 +14,7 @@ Quick start:
     triples = pipe.run()
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # Lazy re-exports: importing a pure submodule (kgner.textops, kgner.bm25)
 # must NOT pull in pyspark — the pure core stays importable anywhere.
