@@ -37,14 +37,18 @@ def connected_components(
     distributed min-label propagation (below) takes over unchanged. Both
     produce identical (node, component) output.
 
-    The local bound is BYTE-aware, not just row-count: a tiny probe estimates
+    The local bound is BYTE-aware, not just row-count: a tiny probe ESTIMATES
     average edge width, and the row cap shrinks so the bounded collect stays
     under `local_threshold_bytes` — 2M edges of wide node strings would
-    otherwise land several hundred MB on the driver. With the defaults the
-    byte cap starts undercutting the 2M row cap at ~18 chars of node text
-    per edge (256 MB / (98 B overhead + chars)); dedup_keep_min's 20-char
-    encoded ids cut over at ~1.95M edges — the caps are deliberately the
-    same order so neither silently dominates.
+    otherwise land several hundred MB on the driver. The probe is an
+    unordered limit(), which typically reads one partition; if edge widths
+    are skewed across partitions the estimate can undercount, so the
+    per-edge estimate is padded by a 1.25x safety factor (and the collect
+    stays hard-bounded by the `local_threshold` row cap regardless). With
+    the defaults the byte cap starts undercutting the 2M row cap at ~5 chars
+    of node text per edge (256 MB / (1.25 x (98 B overhead + chars)));
+    dedup_keep_min's 20-char encoded ids cap at ~1.8M edges — the caps are
+    deliberately the same order so neither silently dominates.
     """
     PROBE = 1024
     probe = [
@@ -53,8 +57,9 @@ def connected_components(
     if len(probe) < PROBE:
         rows = probe  # the probe WAS the whole graph
     else:
-        # ~98 bytes of PyObject/tuple overhead per edge beyond the characters
-        avg_bytes = (
+        # ~98 bytes of PyObject/tuple overhead per edge beyond the characters;
+        # 1.25x pads the single-partition probe against cross-partition skew
+        avg_bytes = 1.25 * (
             sum(len(s or "") + len(d or "") for s, d in probe) / len(probe) + 98
         )
         row_cap = min(local_threshold, int(local_threshold_bytes / avg_bytes))

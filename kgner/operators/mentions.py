@@ -151,23 +151,28 @@ def mentions_by_join(
             F.max(F.size(F.split(F.col("alias_norm"), " "))).alias("m")
         ).collect()[0]
         max_ngram = int(row["m"] or 1)
-    cands = None
     toks = F.col("tokens")
-    for ln in range(1, max_ngram + 1):
-        c = (
-            sentences.select(
-                "url",
-                "sent_id",
-                F.posexplode(
-                    F.transform(
-                        F.slice(toks, 1, F.greatest(F.size(toks) - ln + 1, F.lit(0))),
-                        lambda _, i: F.concat_ws(" ", F.slice(toks, i + 1, ln)),
-                    )
-                ).alias("start", "text"),
-            )
-            .withColumn("end", F.col("start") + ln)
+    # ONE scan of the sentences source: all n-gram lengths are enumerated
+    # inside a single nested higher-order expression (flatten of a transform
+    # over sequence(1, max_ngram)), instead of unioning one scan per length —
+    # with a long-tail alias table (max_ngram = longest alias) the union form
+    # was O(max_ngram) source scans.
+    cand_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(max_ngram)),
+            lambda ln: F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - ln + 1, F.lit(0))),
+                lambda _, i: F.struct(
+                    i.cast("int").alias("start"),
+                    (i + ln).cast("int").alias("end"),
+                    F.concat_ws(" ", F.slice(toks, i + 1, ln)).alias("text"),
+                ),
+            ),
         )
-        cands = c if cands is None else cands.unionByName(c)
+    )
+    cands = sentences.select(
+        "url", "sent_id", F.explode(cand_expr).alias("c")
+    ).select("url", "sent_id", "c.start", "c.end", "c.text")
     # no broadcast hint: this path exists for alias tables too large to
     # broadcast — let Catalyst pick broadcast vs shuffle-hash from stats
     joined = cands.join(
@@ -192,6 +197,13 @@ def mentions_by_join(
         import numpy as np
 
         pdf = pdf.sort_values("rk")
+        # the occupancy sweep assumes well-formed half-open spans: a zero-
+        # width candidate (start == end) would slice an empty range and be
+        # accepted unconditionally, and a negative index would wrap around.
+        # The n-gram generator above can only emit end = start + ln (ln >= 1,
+        # start >= 0), so this filter is a no-op there — it pins the
+        # invariant for any other candidate source routed through pick.
+        pdf = pdf[(pdf["end"] > pdf["start"]) & (pdf["start"] >= 0)]
         starts = pdf["start"].to_numpy()
         ends = pdf["end"].to_numpy()
         occupied = np.zeros(int(ends.max()) if len(ends) else 0, dtype=bool)

@@ -179,22 +179,35 @@ def bm25_topk(
 def highlight_col(sentence: Column, matched_terms: Column) -> Column:
     """ES-style highlight (kb/generate_data.py:44-48: pre_tags ["<hit>"],
     post_tags ["</hit>"]): wrap each space-delimited token whose lowercase
-    form is a matched term. Token-rebuild rather than regexp_replace — a
-    matched term like "hit" must not re-match inside an inserted <hit> tag.
+    CORE (leading/trailing non-alphanumerics stripped) is a matched term.
+    Postings are built with a punctuation-splitting tokenizer, so a sentence
+    token like "Paris," scores for term "paris" — ES marks it; stripping the
+    punctuation before the lookup and re-attaching it around the <hit> tags
+    matches that. Token-rebuild rather than regexp_replace — a matched term
+    like "hit" must not re-match inside an inserted <hit> tag.
 
     Splits on a SINGLE literal space so the original text round-trips
     byte-identically in unmatched regions (runs of spaces survive as empty
     array elements that concat_ws re-emits). Tokens containing tabs/newlines
     are left unmarked — sentence text from the splitter is space-delimited,
     so in practice this marks exactly the positions that scored. JVM-only
-    (transform/array_contains)."""
-    return F.concat_ws(
-        " ",
-        F.transform(
-            F.split(sentence, " ", -1),
-            lambda t: F.when(
-                F.array_contains(matched_terms, F.lower(t)),
-                F.concat(F.lit("<hit>"), t, F.lit("</hit>")),
-            ).otherwise(t),
-        ),
-    )
+    (transform/array_contains/regexp)."""
+    EDGE = r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$"
+
+    def mark(t: Column) -> Column:
+        core = F.regexp_replace(t, EDGE, "")
+        lead = F.regexp_extract(t, r"^([^\p{L}\p{N}]+)", 1)
+        trail = F.regexp_extract(t, r"([^\p{L}\p{N}]+)$", 1)
+        return F.when(
+            F.array_contains(matched_terms, F.lower(t)),
+            # exact-token match first: keeps the original behavior when the
+            # whole token (punctuation included) is itself a matched term
+            F.concat(F.lit("<hit>"), t, F.lit("</hit>")),
+        ).when(
+            # all-punctuation tokens have core = "" and never match (terms
+            # are non-empty); lead == trail == t there, so no double-emit
+            (F.length(core) > 0) & F.array_contains(matched_terms, F.lower(core)),
+            F.concat(lead, F.lit("<hit>"), core, F.lit("</hit>"), trail),
+        ).otherwise(t)
+
+    return F.concat_ws(" ", F.transform(F.split(sentence, " ", -1), mark))

@@ -65,6 +65,28 @@ def test_ivf_probe_join_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_mentions_join_candidates_single_scan(spark):
+    """mentions_by_join enumerates ALL n-gram lengths inside one nested
+    higher-order expression — exactly ONE scan of the sentences source, not
+    a unionByName of one scan per length."""
+    from pyspark.sql import functions as F
+
+    from kgner.operators.mentions import mentions_by_join
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    sents = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).cast("int").alias("sent_id"),
+        F.split(F.lower("text"), " ").alias("tokens"),
+    )
+    aliases = spark.createDataFrame(
+        [("spark", "SPARK"), ("customer table", "CT")],
+        "alias_norm string, canonical_id string",
+    )
+    plan = _plan(mentions_by_join(sents, aliases, max_ngram=4))
+    assert plan.count("documents.parquet") == 1
+
+
 def test_minhash_contract_is_jvm_only(spark):
     """The md5-seeded affine minhash family must stay whole-stage-codegen
     long arithmetic — no Python eval nodes anywhere in the contract query."""
