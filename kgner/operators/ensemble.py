@@ -118,12 +118,86 @@ def ensemble_votes(
     return both.groupBy("url", "sent_id").applyInPandas(pick, ENSEMBLED_SCHEMA)
 
 
-def span_f1(gold: DataFrame, pred: DataFrame) -> DataFrame:
+def strip_context_tags(
+    predictions: DataFrame,
+    tokens_col: str = "tokens",
+    strip_cols: tuple[str, ...] = ("tags",),
+    gold_col: str | None = None,
+    eos: str = "<EOS>",
+    filler_tag: str = "S-X",
+) -> DataFrame:
+    """Truncate each tagged token stream at the FIRST ``<EOS>`` token or
+    gold ``S-X`` filler tag — the reference's context strip before
+    ensembling (ensemble_prediction.py:356-361: ``if token == '<EOS>' or
+    gold_anno == 'S-X': break``). Augmented sentences carry the retrieved
+    context after the original region (P-15 joins with `` <EOS> ``;
+    kb/context_process.py); the model tags the WHOLE stream, so any span
+    the model hallucinates inside the context region must be cut off
+    before voting/scoring or it surfaces as a phantom prediction.
+
+    `tokens_col` and every column in `strip_cols` (plus `gold_col` when
+    given) are replaced by their pre-cut prefixes; all must be equal-length
+    arrays per row. Pure JVM (array_position + slice) — no Python, map-only,
+    scale-free.
+    """
+    eos_pos = F.nullif(F.array_position(F.col(tokens_col), eos), F.lit(0))
+    cut = eos_pos
+    if gold_col is not None:
+        sx_pos = F.nullif(F.array_position(F.col(gold_col), filler_tag), F.lit(0))
+        cut = F.least(cut, sx_pos)  # least() skips nulls: min of the found positions
+    keep = F.coalesce(cut, F.size(F.col(tokens_col)) + 1) - 1
+    out = predictions.withColumn("__keep", keep.cast("int"))
+    cols = [tokens_col, *strip_cols] + ([gold_col] if gold_col else [])
+    for c in cols:
+        out = out.withColumn(c, F.slice(F.col(c), 1, F.col("__keep")))
+    return out.drop("__keep")
+
+
+def remove_x_tokens(
+    df: DataFrame,
+    gold_col: str = "gold_tags",
+    cols: tuple[str, ...] = ("tokens", "tags"),
+    filler_type: str = "X",
+) -> DataFrame:
+    """conlleval ``remove_x`` (conlleval_perl.py:244-246): drop every token
+    position whose GOLD tag has filler type X (``S-X``/``B-X``/...) from the
+    gold stream AND every parallel stream, renumbering the remainder — the
+    exact line-skip semantics of the perl script (``if correctType == 'X':
+    continue``). Positions are filtered BEFORE span decoding, so spans
+    bordering a removed region merge/shift exactly as conlleval sees them.
+
+    Pure JVM: one index filter over the gold array, then a gather per
+    column."""
+    is_x = lambda t: t.contains("-") & (  # noqa: E731
+        F.substring_index(t, "-", -1) == filler_type
+    )
+    keep_idx = F.filter(
+        F.sequence(F.lit(0), F.size(F.col(gold_col)) - 1),
+        lambda i: ~is_x(F.get(F.col(gold_col), i)),
+    )
+    out = df.withColumn("__keep_idx", keep_idx)
+    for c in (gold_col, *cols):
+        out = out.withColumn(
+            c, F.transform(F.col("__keep_idx"), lambda i: F.get(F.col(c), i))
+        )
+    return out.drop("__keep_idx")
+
+
+def span_f1(gold: DataFrame, pred: DataFrame, remove_x: bool = False) -> DataFrame:
     """Chunk-level P/R/F1 per label + micro, conlleval semantics
-    (/root/reference/conlleval_perl.py:207-350) as a pure DataFrame agg."""
+    (/root/reference/conlleval_perl.py:207-350) as a pure DataFrame agg.
+
+    remove_x=True excludes filler type X from scoring on BOTH sides
+    (conlleval_perl.py:244-246 skips gold-X token lines; at span level that
+    drops X-labeled spans from the gold and prediction sets — for the exact
+    token-level renumbering semantics apply `remove_x_tokens` to the tag
+    streams BEFORE decoding instead)."""
     key = ["url", "sent_id", "start", "end", "label"]
     g = gold.select(*key).distinct()
     p = pred.select(*key).distinct()
+    if remove_x:
+        g = g.filter(F.col("label") != "X")
+        p = p.filter(F.col("label") != "X")
     tp = g.join(p, key, "inner").groupBy("label").agg(F.count(F.lit(1)).alias("tp"))
     fp = p.join(g, key, "left_anti").groupBy("label").agg(
         F.count(F.lit(1)).alias("fp")

@@ -1467,6 +1467,126 @@ FROM g GROUP BY doc_id, isl
 """.replace("{gaz}", GAZ_SQL)
 
 
+def q_contextual_spans(spark, sf_dir):
+    """The P-15 -> tag -> STRIP -> vote composition (SURVEY §3.3 step 2), the
+    reference dataflow edge where retrieved-context tags must not leak into
+    predictions: assemble_context builds augmented sentences (first 8 tokens
+    + <EOS>-joined retrieved contexts, kb/context_process.py), the CRF tags
+    the WHOLE augmented token stream — planting spans INSIDE the context
+    region, since contexts are other documents full of gazetteer tokens —
+    then strip_context_tags truncates every model's stream at the first
+    <EOS> token / gold S-X filler (ensemble_prediction.py:356-361) before
+    the 3-model majority vote.
+
+    The oracle is the gazetteer islands RESTRICTED to the original 8-token
+    region: if the strip breaks, the context-region spans (3/3 votes — they
+    would sail through the threshold) surface and hash-mismatch; if the
+    degraded model's threshold handling breaks, its 1-vote spans surface."""
+    import numpy as np
+
+    from kgner.operators.context import assemble_context
+    from kgner.operators.ensemble import ensemble_votes, strip_context_tags
+    from kgner.operators.inference import tag_with_crf
+
+    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = _toks(F.col("text"))
+    sents = d.select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 8)).alias("sentence"),
+    )
+    ranks = spark.range(1, 4).select(F.col("id").cast("int").alias("rank"))
+    ctxs = (
+        sents.select("query_id")
+        .crossJoin(F.broadcast(ranks))
+        .join(
+            d.select("doc_id", F.trim(F.lower("text")).alias("sentence")),
+            F.col("doc_id") == F.col("query_id") + F.col("rank"),
+        )
+        .select("query_id", "rank", "sentence")
+    )
+    aug = assemble_context(sents, ctxs, budget=100)
+    atoks = F.split(F.trim(F.col("augmented")), r"\s+")
+    base = aug.select(
+        F.col("query_id").cast("string").alias("url"),
+        F.lit(0).cast("int").alias("sent_id"),
+        atoks.alias("tokens"),
+        F.size(F.split(F.col("sentence"), r"\s+")).alias("sent_len"),
+    ).withColumn(
+        # gold: original region O, context region the reference's S-X filler
+        "gold_tags",
+        F.transform(
+            F.col("tokens"),
+            lambda _, i: F.when(i < F.col("sent_len"), "O").otherwise("S-X"),
+        ),
+    ).withColumn("subtoken_len", F.size("tokens"))
+
+    gaz = set(GAZ)
+    tagset = ["O", "B-ENT", "I-ENT"]
+    dim = 3
+
+    def embed(tokens):
+        out = np.zeros((len(tokens), dim))
+        prev_gaz = False
+        for i, t in enumerate(tokens):
+            is_gaz = t in gaz
+            out[i, 1 if (is_gaz and not prev_gaz) else (2 if is_gaz else 0)] = 5.0
+            prev_gaz = is_gaz
+        return out
+
+    w = np.eye(dim)
+    transitions = np.zeros((dim + 2, dim + 2))
+    transitions[0, 2] = -10.0  # O -> I-ENT forbidden
+    transitions[dim, 2] = -10.0  # START -> I-ENT forbidden
+    tagged = tag_with_crf(base, w, transitions, tagset, embed_fn=embed).join(
+        base.select("url", "sent_id", "tokens", "gold_tags"), ["url", "sent_id"]
+    )
+    # strip BEFORE voting, per model (ensemble_prediction.py:356-361); both
+    # cut conditions fire at the same boundary: tokens[sent_len] == <EOS>
+    # and gold_tags[sent_len] == S-X
+    stripped = strip_context_tags(
+        tagged, tokens_col="tokens", strip_cols=("tags",), gold_col="gold_tags"
+    )
+    degraded = F.when(
+        F.size("tags") > 0,
+        F.concat(
+            F.array(F.lit("O")),
+            F.slice(F.col("tags"), 2, F.greatest(F.size("tags") - 1, F.lit(0))),
+        ),
+    ).otherwise(F.col("tags"))
+    one = stripped.select("url", "sent_id", "tags").localCheckpoint(eager=False)
+    preds = (
+        one.withColumn("model_id", F.lit(1))
+        .unionByName(one.withColumn("model_id", F.lit(2)))
+        .unionByName(
+            one.withColumn("tags", degraded).withColumn("model_id", F.lit(3))
+        )
+    )
+    out = ensemble_votes(preds, threshold_ratio=0.5)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        (F.col("start") + 1).cast("long").alias("start_pos"),
+        (F.col("end") - F.col("start")).cast("long").alias("span_len"),
+    )
+
+
+ORACLE_CONTEXTUAL = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
+  FROM documents WHERE trim(text) <> ''
+), g AS (
+  -- gazetteer islands RESTRICTED to the original 8-token sentence region:
+  -- everything the tagger emitted beyond it must have been stripped
+  SELECT doc_id, ord, ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+  FROM t WHERE tok IN {gaz} AND ord <= 8
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(min(ord) AS BIGINT) AS start_pos,
+       count(*) AS span_len
+FROM g GROUP BY doc_id, isl
+""".replace("{gaz}", GAZ_SQL)
+
+
 def q_span_f1_by_label(spark, sf_dir):
     """A-2/A-5 per-type table: conlleval's per-label P/R/F1 lines
     (conlleval_perl.py:207-350 prints one row per entity type). Label = the
@@ -2148,6 +2268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_f1": q_span_f1,
     "span_f1_by_label": q_span_f1_by_label,
     "ensemble_spans": q_ensemble_spans,
+    "contextual_spans": q_contextual_spans,
     "cube_counts": q_cube_counts,
     "stratified_head": q_stratified_head,
     "approx_distinct": q_approx_distinct,
@@ -2200,6 +2321,7 @@ ORACLES: dict[str, str] = {
     "span_f1": ORACLE_SPAN_F1,
     "span_f1_by_label": ORACLE_SPAN_F1_BY_LABEL,
     "ensemble_spans": ORACLE_ENSEMBLE,  # 1-vote spans rejected -> exactly the islands
+    "contextual_spans": ORACLE_CONTEXTUAL,  # context-region tags stripped pre-vote
     "cube_counts": ORACLE_CUBE,
     "stratified_head": ORACLE_STRATIFIED,
     # approx_distinct: rows-only (HLL sketch values are engine-specific)

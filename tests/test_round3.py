@@ -33,6 +33,168 @@ def test_highlight_marks_punctuation_adjacent_tokens(spark):
     assert got[2] == "term <hit>equals,</hit> token"
 
 
+# --- <EOS>/S-X context strip + conlleval remove_x -----------------------------
+
+def test_strip_context_tags_cuts_at_eos_or_sx(spark):
+    """ensemble_prediction.py:356-361: truncate at the FIRST <EOS> token or
+    gold S-X filler, whichever comes first."""
+    from kgner.operators.ensemble import strip_context_tags
+
+    df = spark.createDataFrame(
+        [
+            # EOS first
+            (["a", "b", "<EOS>", "c"], ["O", "O", "O", "B-ENT"],
+             ["O", "O", "O", "S-X"]),
+            # S-X first (before any EOS)
+            (["a", "b", "c", "<EOS>"], ["B-ENT", "O", "O", "O"],
+             ["O", "S-X", "S-X", "S-X"]),
+            # no cut condition: stream untouched
+            (["a", "b"], ["O", "B-ENT"], ["O", "O"]),
+            # EOS at position 1: everything stripped
+            (["<EOS>", "x"], ["B-ENT", "I-ENT"], ["S-X", "S-X"]),
+        ],
+        "tokens array<string>, tags array<string>, gold_tags array<string>",
+    )
+    got = strip_context_tags(df, gold_col="gold_tags").collect()
+    assert (got[0].tokens, got[0].tags, got[0].gold_tags) == (
+        ["a", "b"], ["O", "O"], ["O", "O"])
+    assert (got[1].tokens, got[1].tags) == (["a"], ["B-ENT"])
+    assert got[2].tokens == ["a", "b"] and got[2].tags == ["O", "B-ENT"]
+    assert got[3].tokens == [] and got[3].tags == []
+
+
+def test_strip_context_tags_eos_only_without_gold(spark):
+    from kgner.operators.ensemble import strip_context_tags
+
+    df = spark.createDataFrame(
+        [(["x", "<EOS>", "y"], ["B-ENT", "O", "B-ENT"])],
+        "tokens array<string>, tags array<string>",
+    )
+    r = strip_context_tags(df).head()
+    assert r.tokens == ["x"] and r.tags == ["B-ENT"]
+
+
+def test_remove_x_tokens_renumbers_like_conlleval(spark):
+    """conlleval_perl.py:244-246: gold-X token lines are skipped entirely —
+    parallel streams shrink and positions renumber."""
+    from kgner.operators.ensemble import remove_x_tokens
+
+    df = spark.createDataFrame(
+        [
+            (
+                ["a", "pad", "b", "c", "pad"],
+                ["O", "S-X", "B-ENT", "I-ENT", "B-X"],
+                ["O", "B-ENT", "B-ENT", "I-ENT", "O"],
+            )
+        ],
+        "tokens array<string>, gold_tags array<string>, tags array<string>",
+    )
+    r = remove_x_tokens(df, gold_col="gold_tags", cols=("tokens", "tags")).head()
+    assert r.tokens == ["a", "b", "c"]
+    assert r.gold_tags == ["O", "B-ENT", "I-ENT"]
+    # the pred B-ENT that sat on the removed filler position vanishes with it
+    assert r.tags == ["O", "B-ENT", "I-ENT"]
+
+
+def test_span_f1_remove_x_flag(spark):
+    from kgner.operators.ensemble import span_f1
+
+    gold = spark.createDataFrame(
+        [("u", 0, 0, 2, "PER"), ("u", 0, 5, 6, "X")],
+        "url string, sent_id int, start int, end int, label string",
+    )
+    pred = spark.createDataFrame(
+        [("u", 0, 0, 2, "PER"), ("u", 0, 5, 6, "X"), ("u", 0, 8, 9, "X")],
+        "url string, sent_id int, start int, end int, label string",
+    )
+    with_x = {r.label: (r.tp, r.fp, r.fn) for r in span_f1(gold, pred).collect()}
+    assert with_x["X"] == (1, 1, 0)
+    no_x = {r.label: (r.tp, r.fp, r.fn)
+            for r in span_f1(gold, pred, remove_x=True).collect()}
+    assert "X" not in no_x
+    assert no_x["PER"] == (1, 0, 0)
+
+
+def test_augmented_inference_e2e(spark):
+    """E2E over AUGMENTED sentences: assemble_context -> CRF tags the whole
+    augmented stream (context region included) -> strip_context_tags ->
+    ensemble_votes -> span_f1(remove_x=True) gives P = R = 1.0 against the
+    original-region gold; without the strip the same pipeline yields phantom
+    context spans (precision < 1)."""
+    import numpy as np
+
+    from kgner.operators.context import assemble_context
+    from kgner.operators.ensemble import (
+        decode_spans_udf,
+        ensemble_votes,
+        span_f1,
+        strip_context_tags,
+    )
+    from kgner.operators.inference import tag_with_crf
+
+    sents = spark.createDataFrame(
+        [(1, "alice met bob"), (2, "nobody here"), (3, "carol alone")],
+        "query_id int, sentence string",
+    )
+    # retrieved contexts are FULL of entity tokens the model will tag
+    ctxs = spark.createDataFrame(
+        [(q, r, "alice and bob and carol") for q in (1, 2, 3) for r in (1, 2)],
+        "query_id int, rank int, sentence string",
+    )
+    aug = assemble_context(sents, ctxs, budget=500)
+    base = (
+        aug.select(
+            F.col("query_id").cast("string").alias("url"),
+            F.lit(0).cast("int").alias("sent_id"),
+            F.split("augmented", " ").alias("tokens"),
+            F.size(F.split("sentence", " ")).alias("sent_len"),
+        )
+        .withColumn(
+            "gold_tags",
+            F.transform(
+                "tokens",
+                lambda _, i: F.when(i < F.col("sent_len"), "O").otherwise("S-X"),
+            ),
+        )
+        .withColumn("subtoken_len", F.size("tokens"))
+    )
+    names = {"alice", "bob", "carol"}
+    tagset = ["O", "B-PER", "I-PER"]
+
+    def embed(tokens):
+        out = np.zeros((len(tokens), 3))
+        for i, t in enumerate(tokens):
+            out[i, 1 if t in names else 0] = 5.0
+        return out
+
+    trans = np.zeros((5, 5))
+    trans[0, 2] = trans[3, 2] = -10.0
+    tagged = tag_with_crf(base, np.eye(3), trans, tagset, embed_fn=embed).join(
+        base.select("url", "sent_id", "tokens", "gold_tags"), ["url", "sent_id"]
+    )
+
+    def spans_of(preds):
+        three = (
+            preds.withColumn("model_id", F.lit(1))
+            .unionByName(preds.withColumn("model_id", F.lit(2)))
+            .unionByName(preds.withColumn("model_id", F.lit(3)))
+        )
+        return ensemble_votes(three.select("model_id", "url", "sent_id", "tags"))
+
+    stripped = spans_of(strip_context_tags(tagged, gold_col="gold_tags"))
+    gold = spark.createDataFrame(
+        [("1", 0, 0, 1, "PER"), ("1", 0, 2, 3, "PER"), ("3", 0, 0, 1, "PER")],
+        "url string, sent_id int, start int, end int, label string",
+    )
+    m = {r.label: r for r in span_f1(gold, stripped, remove_x=True).collect()}
+    assert m["PER"].precision == 1.0 and m["PER"].recall == 1.0
+
+    # negative control: skipping the strip leaks context-region spans
+    leaky = spans_of(tagged)
+    m2 = {r.label: r for r in span_f1(gold, leaky, remove_x=True).collect()}
+    assert m2["PER"].fp > 0 and m2["PER"].precision < 1.0
+
+
 def test_highlight_roundtrips_unmatched_text(spark):
     from kgner.operators.retrieval import highlight_col
 
