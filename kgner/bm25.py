@@ -33,7 +33,7 @@ def bm25_rank(
     postings: dict[str, dict[int, int]],
     doc_lens: dict[int, int],
     k: int = 10,
-    title_terms: dict[int, set[str]] | None = None,
+    title_tokens: dict[int, list[str]] | None = None,
     boost_terms: list[str] | None = None,
     title_boost: float = 2.0,
 ) -> list[tuple[int, float]]:
@@ -41,8 +41,12 @@ def bm25_rank(
     (score desc, doc_id asc) — the deterministic tiebreak from SURVEY §7.3.
 
     `boost_terms` models the reference's entity-boosted `match(title, entity,
-    boost=2.0)` clause (kb/generate_data.py:52-55): a second scoring pass over
-    the title field with x2 weight, summed into the doc score.
+    boost=2.0)` clause (kb/generate_data.py:52-55) with ES-exact semantics:
+    bool.should SUMS clause scores and the boost MULTIPLIES the TITLE-FIELD
+    BM25 score — tf counted in the title tokens, title length / avg title
+    length as the field norm, df = #titles containing the term.
+    `title_tokens` maps doc_id -> its title token list (ALL docs, so the
+    field statistics match the Spark side's corpus-wide aggregates).
     """
     n_docs = len(doc_lens)
     if n_docs == 0:
@@ -60,10 +64,17 @@ def bm25_rank(
             scores[doc_id] = scores.get(doc_id, 0.0) + term_score(
                 tf, doc_lens[doc_id], avg_len, df, n_docs
             )
-    if boost_terms and title_terms:
-        for term in boost_terms:
-            for doc_id, terms in title_terms.items():
-                if term in terms:
-                    scores[doc_id] = scores.get(doc_id, 0.0) + title_boost
+    if boost_terms and title_tokens:
+        avg_tlen = sum(len(t) for t in title_tokens.values()) / len(title_tokens)
+        for term in dict.fromkeys(boost_terms):
+            tdf = sum(1 for toks in title_tokens.values() if term in toks)
+            if tdf == 0:
+                continue
+            for doc_id, toks in title_tokens.items():
+                ttf = toks.count(term)
+                if ttf:
+                    scores[doc_id] = scores.get(doc_id, 0.0) + title_boost * term_score(
+                        ttf, len(toks), avg_tlen, tdf, n_docs
+                    )
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]

@@ -48,11 +48,12 @@ def bm25_topk(
 
     queries: (query_id, tokens array<string>) — tokens already lowercased.
     boost_entities: optional (query_id, entity string) rows; adds the
-    reference's entity->title boost clause (generate_data.py:52-55).
-    NOTE: the boost here is flat-additive (+title_boost per distinct entity
-    term found in the title), an intentional simplification of the ES
-    semantics (match(title, {boost: 2.0}) MULTIPLIES the title-field BM25
-    score); Spark path and oracle share the simplification.
+    reference's entity->title boost clause (generate_data.py:52-55) with
+    ES-exact semantics: bool.should SUMS the clause scores, and
+    match(title, {boost: 2.0}) MULTIPLIES the TITLE-FIELD BM25 score — tf
+    counted in the title, title length and avg title length as the field
+    norm, df = number of docs whose title contains the term. So
+    score = text_bm25 + title_boost * title_bm25(entity terms).
 
     matched_terms/highlight mirror the ES highlight hits the reference's
     retrieval rows carry (kb/generate_data.py:44-48,62-68; row format
@@ -125,17 +126,44 @@ def bm25_topk(
     )
 
     if boost_entities is not None:
-        title_terms = docs.select(
-            "doc_id", F.explode(F.split(F.lower("title"), r"\s+")).alias("term")
+        # TITLE-FIELD BM25 (generate_data.py:52-55): per-field statistics —
+        # tf within the title, title length as the norm, df over titles.
+        # Titles are dimension-sized relative to the corpus text, so all
+        # three title aggregates broadcast.
+        ttoks = docs.select(
+            "doc_id",
+            F.split(F.trim(F.lower("title")), r"\s+").alias("ttoks"),
+        )
+        tpostings = ttoks.select(
+            "doc_id",
+            F.size("ttoks").alias("tlen"),
+            F.explode("ttoks").alias("term"),
+        ).groupBy("doc_id", "tlen", "term").agg(F.count(F.lit(1)).alias("ttf"))
+        tstats = ttoks.agg(F.avg(F.size("ttoks")).alias("avg_tlen"))
+        tdf = tpostings.groupBy("term").agg(F.count(F.lit(1)).alias("tdf"))
+        ent_terms = boost_entities.select(
+            "query_id", F.explode(F.split(F.lower("entity"), r"\s+")).alias("term")
         ).distinct()
         boosts = (
-            boost_entities.select(
-                "query_id", F.explode(F.split(F.lower("entity"), r"\s+")).alias("term")
+            ent_terms.join(tpostings, "term")
+            .join(F.broadcast(tdf), "term")
+            .crossJoin(F.broadcast(stats.select("n_docs")))
+            .crossJoin(F.broadcast(tstats))
+            .withColumn(
+                "tcontrib",
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("tdf") + 0.5) / (F.col("tdf") + 0.5)
+                )
+                * F.col("ttf")
+                * (K1 + 1.0)
+                / (
+                    F.col("ttf")
+                    + K1 * (1.0 - B + B * F.col("tlen") / F.col("avg_tlen"))
+                ),
             )
-            .distinct()
-            .join(title_terms, "term")
             .groupBy("query_id", "doc_id")
-            .agg((F.count(F.lit(1)) * title_boost).alias("boost"))
+            .agg((F.lit(title_boost) * F.sum("tcontrib")).alias("boost"))
         )
         scored = (
             scored.join(boosts, ["query_id", "doc_id"], "outer")

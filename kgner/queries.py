@@ -1083,9 +1083,14 @@ FROM sized
 
 
 def q_bm25_entity_boost(spark, sf_dir):
-    """J-1 entity-boost variant (kb/generate_data.py:52-55): the bm25 score
-    plus 2.0 per distinct boost-term hit in the doc 'title' (first 2 tokens).
-    Boost terms per query: the gazetteer tokens present in the query."""
+    """J-1 entity-boost variant, ES-EXACT (kb/generate_data.py:52-55):
+    bool.should = [match(text, sentence), match(title, {query: entity,
+    boost: 2.0})] — ES SUMS the clause scores, and the boost MULTIPLIES the
+    TITLE-FIELD BM25 score (tf in the title, title length / avg title
+    length as the field norm, df = #docs whose title has the term).
+    score = text_bm25 + 2.0 * title_bm25(entity terms). Title = first 2
+    tokens of the doc; boost terms per query = gazetteer tokens in the
+    query. (Upgraded r3 from a flat-additive simplification.)"""
     d = _t(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
     doc_toks = d.select(F.col("doc_id"), F.explode(toks).alias("term"))
@@ -1120,17 +1125,36 @@ def q_bm25_entity_boost(spark, sf_dir):
         .agg(F.sum("contrib").alias("raw"))
     )
     gaz = F.array(*[F.lit(g) for g in GAZ])
-    titles = d.select(
-        "doc_id", F.explode(F.array_distinct(F.slice(toks, 1, 2))).alias("term")
+    # title-field statistics: tf within the 2-token title, field length,
+    # per-term title df, corpus avg title length
+    ttoks = d.select("doc_id", F.slice(toks, 1, 2).alias("ttoks"))
+    tpostings = (
+        ttoks.select(
+            "doc_id", F.size("ttoks").alias("tlen"), F.explode("ttoks").alias("term")
+        )
+        .groupBy("doc_id", "tlen", "term")
+        .agg(F.count(F.lit(1)).alias("ttf"))
     )
+    tstats = ttoks.agg(F.avg(F.size("ttoks")).alias("avg_tlen"))
+    tdf = tpostings.groupBy("term").agg(F.count(F.lit(1)).alias("tdf"))
     boost_terms = queries.select(
         "query_id",
         F.explode(F.filter("qterms", lambda t: F.array_contains(gaz, t))).alias("term"),
     ).distinct()
     boosts = (
-        boost_terms.join(titles, "term")
+        boost_terms.join(tpostings, "term")
+        .join(F.broadcast(tdf), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .crossJoin(F.broadcast(tstats))
+        .withColumn(
+            "tcontrib",
+            F.log(1.0 + (F.col("n_docs") - F.col("tdf") + 0.5) / (F.col("tdf") + 0.5))
+            * F.col("ttf")
+            * (K1 + 1.0)
+            / (F.col("ttf") + K1 * (1.0 - B + B * F.col("tlen") / F.col("avg_tlen"))),
+        )
         .groupBy("query_id", "doc_id")
-        .agg((F.count(F.lit(1)) * 2.0).alias("boost"))
+        .agg((F.lit(2.0) * F.sum("tcontrib")).alias("boost"))
     )
     total = (
         scored.join(boosts, ["query_id", "doc_id"], "left")
@@ -1169,15 +1193,26 @@ scored AS (
   FROM qt JOIN postings p USING (term) JOIN dfreq d USING (term)
   JOIN lens l ON p.doc_id = l.doc_id CROSS JOIN stats s
   GROUP BY 1, 2
-), titles AS (
-  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')[1:2])) AS term
+), ttoks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+')[1:2] AS ttoks
   FROM documents
-), bterms AS (
+), tpostings AS (
+  SELECT doc_id, tlen, term, count(*) AS ttf
+  FROM (SELECT doc_id, len(ttoks) AS tlen, unnest(ttoks) AS term FROM ttoks)
+  GROUP BY 1, 2, 3
+), tstats AS (SELECT avg(len(ttoks)) AS avg_tlen FROM ttoks),
+tdf AS (SELECT term, count(*) AS tdf FROM tpostings GROUP BY 1),
+bterms AS (
   SELECT DISTINCT query_id, term FROM (SELECT query_id, unnest(qterms) AS term FROM queries)
   WHERE term IN {gaz}
 ), boosts AS (
-  SELECT b.query_id, t.doc_id, count(*) * 2.0 AS boost
-  FROM bterms b JOIN titles t USING (term) GROUP BY 1, 2
+  -- ES-exact multiplicative title boost: 2.0 x TITLE-FIELD BM25
+  SELECT b.query_id, p.doc_id,
+         2.0 * sum(ln(1 + (s.n_docs - d.tdf + 0.5) / (d.tdf + 0.5))
+               * p.ttf * 2.2 / (p.ttf + 1.2 * (0.25 + 0.75 * p.tlen / t.avg_tlen))) AS boost
+  FROM bterms b JOIN tpostings p USING (term) JOIN tdf d USING (term)
+  CROSS JOIN stats s CROSS JOIN tstats t
+  GROUP BY 1, 2
 ), total AS (
   SELECT s.query_id, s.doc_id, round(s.raw + coalesce(b.boost, 0.0), 6) AS score
   FROM scored s LEFT JOIN boosts b ON s.query_id = b.query_id AND s.doc_id = b.doc_id

@@ -124,11 +124,19 @@ def test_bm25_math_and_rank():
 
 
 def test_bm25_title_boost():
+    """Multiplicative title-field BM25 boost (generate_data.py:52-55): the
+    boosted doc wins the tie, and the added score is exactly
+    2.0 x term_score over the title field's own statistics."""
     postings = {"a": {0: 1, 1: 1}}
     doc_lens = {0: 4, 1: 4}
-    titles = {1: {"zq"}}
-    top = bm25_rank(["a"], postings, doc_lens, k=2, title_terms=titles, boost_terms=["zq"])
+    titles = {0: ["other", "words"], 1: ["zq", "page"]}
+    top = bm25_rank(
+        ["a"], postings, doc_lens, k=2, title_tokens=titles, boost_terms=["zq"]
+    )
     assert top[0][0] == 1  # boost flips the tie
+    base = dict(bm25_rank(["a"], postings, doc_lens, k=2))
+    want = base[1] + 2.0 * term_score(1, 2, 2.0, 1, 2)
+    assert abs(top[0][1] - want) < 1e-9
 
 
 def test_connected_components_chain_and_cycle():

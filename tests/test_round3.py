@@ -33,6 +33,53 @@ def test_highlight_marks_punctuation_adjacent_tokens(spark):
     assert got[2] == "term <hit>equals,</hit> token"
 
 
+# --- multiplicative title-field BM25 boost -------------------------------------
+
+def test_bm25_topk_title_boost_matches_pure_oracle(spark):
+    """bm25_topk's entity->title boost is ES-exact (generate_data.py:52-55):
+    score = text_bm25 + 2.0 x TITLE-FIELD bm25 — verified against the pure
+    bm25_rank oracle to 1e-6."""
+    from kgner.bm25 import bm25_rank
+    from kgner.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, 4, "paris is a city", "paris city", "u0"),
+            (1, 3, "rome is old", "rome city", "u1"),
+            (2, 5, "guide to paris streets maps", "paris guide", "u2"),
+        ],
+        "doc_id long, len long, sentence string, title string, url string",
+    )
+    postings = spark.createDataFrame(
+        [("paris", 0, 1), ("city", 0, 1), ("rome", 1, 1), ("old", 1, 1),
+         ("paris", 2, 1), ("guide", 2, 1)],
+        "term string, doc_id long, tf long",
+    )
+    queries = spark.createDataFrame(
+        [(7, ["paris", "city"])], "query_id long, tokens array<string>"
+    )
+    boost = spark.createDataFrame([(7, "paris")], "query_id long, entity string")
+    got = {
+        r.doc_id: r.score
+        for r in bm25_topk(queries, postings, docs, k=5, boost_entities=boost).collect()
+    }
+    want = dict(
+        bm25_rank(
+            ["paris", "city"],
+            {"paris": {0: 1, 2: 1}, "city": {0: 1}, "rome": {1: 1},
+             "old": {1: 1}, "guide": {2: 1}},
+            {0: 4, 1: 3, 2: 5},
+            k=5,
+            title_tokens={0: ["paris", "city"], 1: ["rome", "city"],
+                          2: ["paris", "guide"]},
+            boost_terms=["paris"],
+        )
+    )
+    assert set(got) == set(want)
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-6, d
+
+
 # --- <EOS>/S-X context strip + conlleval remove_x -----------------------------
 
 def test_strip_context_tags_cuts_at_eos_or_sx(spark):
