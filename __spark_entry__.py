@@ -7,9 +7,10 @@ entry(spark)   -> flagship KG-construction query on /root/testdata/sf0.001:
                   triple materialization).
 queries()      -> one entry per implemented operator (see kgner/queries.py;
                   each docstring cites the SURVEY.md §2 operator it covers).
-oracle_sql()   -> matching DuckDB SQL for every query except approx_distinct
-                  (HLL sketch values are engine-specific; exact variant
-                  `distinct_users` is oracle-checked). Hash-family queries
+oracle_sql()   -> matching DuckDB SQL for EVERY query. approx_distinct's
+                  oracle checks the HLL estimate's relative-error bound
+                  (<= 0.05 vs the exact count) rather than the
+                  engine-specific sketch value. Hash-family queries
                   (minhash_lsh, simhash_dups, tfidf_features) run md5-derived
                   stable hashes the oracle reproduces exactly; production
                   operators default to xxhash64.

@@ -1769,12 +1769,35 @@ WHERE rn <= 10
 
 
 def q_approx_distinct(spark, sf_dir):
-    """Monitoring: approx_count_distinct (HLL) per event type — rows-only
-    (sketch values are engine-specific; exact variant is `distinct_users`)."""
+    """Monitoring: approx_count_distinct (HLL) per event type. HLL sketch
+    values are engine-specific, so instead of hashing the estimate the
+    contract asserts its ERROR BOUND: the query emits the exact distinct
+    count (hash-checkable) plus within_bound = |approx - exact| / exact <=
+    0.05; the oracle recomputes the exact count and expects TRUE — a drifted
+    HLL estimate hash-mismatches. rsd=0.02 keeps the 0.05 assertion ~2.5
+    standard deviations wide (a BOUND check, not a determinism check)."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
     )
+    return agg.select(
+        "event_type",
+        F.col("exact").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            / F.greatest(F.col("exact"), F.lit(1))
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
+ORACLE_APPROX = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1
+"""
 
 
 def q_context_assembly(spark, sf_dir):
@@ -2359,7 +2382,7 @@ ORACLES: dict[str, str] = {
     "contextual_spans": ORACLE_CONTEXTUAL,  # context-region tags stripped pre-vote
     "cube_counts": ORACLE_CUBE,
     "stratified_head": ORACLE_STRATIFIED,
-    # approx_distinct: rows-only (HLL sketch values are engine-specific)
+    "approx_distinct": ORACLE_APPROX,  # HLL relative-error bound, not the sketch value
     "context_assembly": ORACLE_CONTEXT,
     "crf_spans": ORACLE_ENTITY_SPANS,  # engineered emissions == gazetteer islands
     "windowed_crf_spans": ORACLE_WINDOWED_CRF,  # same trick, stride-windowed path
