@@ -43,6 +43,45 @@ def hash_embedding(tokens: list[str], dim: int = 32) -> np.ndarray:
     return out
 
 
+def load_npz_embedder(path: str) -> Callable[[list[str]], np.ndarray]:
+    """Load a FROZEN embedding table and return an ``embed_fn`` with the
+    exact call shape a real model runtime has behind this seam:
+    ``embed_fn(pieces: list[str]) -> (len(pieces), dim) float array``.
+
+    The reference loads an AutoModel and runs a forward pass over subtoken
+    ids (flair/embeddings.py:2906-3091); an ONNX/torch export swapped in
+    here would tokenize to ids and call ``session.run`` — the engine-side
+    plumbing (subtokenize -> stride windows -> seam-cut reconstruction ->
+    pooling -> projection -> Viterbi, kgner.operators.align/inference) is
+    identical either way. This loader is the recorded-fixture instance of
+    that swap: the ``.npz`` holds ``vocab`` (subtoken strings), ``vectors``
+    ((V, dim) rows) and ``oov`` (the out-of-vocabulary row), and the
+    "forward pass" is a vectorized row gather.
+
+    The file is read lazily ON FIRST CALL (i.e. inside the executor-side
+    UDF, not on the driver) and memoized per process. At cluster scale ship
+    it with ``spark.sparkContext.addFile(path)`` / ``spark-submit --files``
+    and pass ``SparkFiles.get(name)`` — the same distribution story as any
+    model artifact (SURVEY §2 S-10).
+    """
+    state: dict = {}
+
+    def embed(pieces: list[str]) -> np.ndarray:
+        if not state:
+            with np.load(path, allow_pickle=False) as z:
+                table = np.vstack([z["vectors"], z["oov"][None, :]])
+                state["table"] = table.astype(np.float64)
+                state["lookup"] = {t: i for i, t in enumerate(z["vocab"].tolist())}
+                state["oov_idx"] = len(table) - 1
+        lookup, oov = state["lookup"], state["oov_idx"]
+        idx = np.fromiter(
+            (lookup.get(p, oov) for p in pieces), dtype=np.int64, count=len(pieces)
+        )
+        return state["table"][idx]
+
+    return embed
+
+
 def _batched_inference(
     sentences: DataFrame,
     decode_rows: Callable[[list], pd.DataFrame],

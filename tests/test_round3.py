@@ -33,6 +33,59 @@ def test_highlight_marks_punctuation_adjacent_tokens(spark):
     assert got[2] == "term <hit>equals,</hit> token"
 
 
+# --- recorded-fixture real-model seam (M-1) -------------------------------------
+
+def test_file_loaded_embedder_drives_windowed_crf(spark):
+    """The one-function model swap documented at kgner/operators/align.py:
+    a FROZEN weight file (tests/fixtures/tiny_embedder.npz) loaded through
+    load_npz_embedder has the exact embed_fn(subtoken batch) -> (n, dim)
+    call shape an ONNX/torch runtime would have; the full windowed M-1/M-2
+    path (subtokenize -> stride windows -> seam-cut reconstruct -> pool ->
+    project -> Viterbi) runs unchanged on top of it and decodes the
+    gazetteer islands."""
+    import os
+
+    import numpy as np
+
+    from kgner.operators.ensemble import decode_spans_udf
+    from kgner.operators.inference import load_npz_embedder, tag_with_crf
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "tiny_embedder.npz")
+    embed = load_npz_embedder(path)
+    # direct call-shape check: batch of subtoken strings -> (n, dim)
+    out = embed(["spark", "unknownword", "join"])
+    assert out.shape == (3, 2)
+    assert out[0].tolist() == [1.0, 0.0]  # in-vocab entity piece
+    assert out[1].tolist() == [0.0, 1.0]  # OOV -> oov row
+
+    rows = [
+        ("d1", 0, "spark join runs on the customer table every day".split()),
+        ("d2", 0, "nothing relevant here at all in this one".split()),
+        ("d3", 0, "window".split()),
+    ]
+    sents = spark.createDataFrame(
+        [(u, s, t, len(t)) for u, s, t in rows],
+        "url string, sent_id int, tokens array<string>, subtoken_len int",
+    )
+    # project [ent, other] -> emissions [O, B-ENT, I-ENT]; transitions make
+    # runs decode as B I I... (START/O -> I forbidden, B/I -> I rewarded)
+    weights = np.array([[0.0, 3.0, 3.0], [3.0, 0.0, 0.0]])
+    trans = np.zeros((5, 5))
+    trans[3, 2] = trans[0, 2] = -10.0  # START -> I, O -> I
+    trans[1, 2] = trans[2, 2] = 2.0  # B -> I, I -> I
+    tagged = tag_with_crf(
+        sents, weights, trans, ["O", "B-ENT", "I-ENT"],
+        embed_fn=embed, max_window=4, stride=2,
+    )
+    spans = {
+        (r.url, r.span.start, r.span.end)
+        for r in tagged.select(
+            "url", F.explode(decode_spans_udf("tags")).alias("span")
+        ).collect()
+    }
+    assert spans == {("d1", 0, 2), ("d1", 5, 7), ("d3", 0, 1)}
+
+
 # --- multiplicative title-field BM25 boost -------------------------------------
 
 def test_bm25_topk_title_boost_matches_pure_oracle(spark):
