@@ -41,10 +41,14 @@ def bm25_topk(
     boost_entities: DataFrame | None = None,
     title_boost: float = 2.0,
     max_df_ratio: float | None = None,
+    with_hits: bool = True,
 ) -> DataFrame:
     """-> retrievals(query_id, rank, doc_id, score, sentence, title, url,
     [paragraph,] matched_terms array<string>, highlight string) —
-    paragraph included when the docs table carries it.
+    paragraph included when the docs table carries it; matched_terms and
+    highlight only when `with_hits` (ES computes highlights on request —
+    a production top-k that doesn't consume them shouldn't pay the
+    collect_set + markup rebuild).
 
     queries: (query_id, tokens array<string>) — tokens already lowercased.
     boost_entities: optional (query_id, entity string) rows; adds the
@@ -121,7 +125,11 @@ def bm25_topk(
             # (idf = ln(1+x), x > 0; tf >= 1) — the engine-side equivalent of
             # the ES highlight hits the reference consumes downstream
             # (kb/generate_data.py:44-48,62-68: pre/post <hit> tags on text)
-            F.sort_array(F.collect_set("term")).alias("matched_terms"),
+            *(
+                [F.sort_array(F.collect_set("term")).alias("matched_terms")]
+                if with_hits
+                else []
+            ),
         )
     )
 
@@ -172,9 +180,15 @@ def bm25_topk(
                 "query_id",
                 "doc_id",
                 (F.col("score") + F.col("boost")).alias("score"),
-                F.coalesce(
-                    "matched_terms", F.array().cast("array<string>")
-                ).alias("matched_terms"),
+                *(
+                    [
+                        F.coalesce(
+                            "matched_terms", F.array().cast("array<string>")
+                        ).alias("matched_terms")
+                    ]
+                    if with_hits
+                    else []
+                ),
             )
         )
 
@@ -184,23 +198,26 @@ def bm25_topk(
     # paragraph rides along when the docs table has it (the reference's
     # retrieval rows carry _source.paragraph, kb/generate_data.py:65)
     extra = ["paragraph"] if "paragraph" in docs.columns else []
-    return (
+    topk = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .join(docs.select("doc_id", "sentence", "title", "url", *extra), "doc_id")
-        .withColumn("highlight", highlight_col(F.col("sentence"), F.col("matched_terms")))
-        .select(
-            "query_id",
-            "rank",
-            "doc_id",
-            "score",
-            "sentence",
-            "title",
-            "url",
-            *extra,
-            "matched_terms",
-            "highlight",
+    )
+    if with_hits:
+        topk = topk.withColumn(
+            "highlight", highlight_col(F.col("sentence"), F.col("matched_terms"))
         )
+    hits = ["matched_terms", "highlight"] if with_hits else []
+    return topk.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "score",
+        "sentence",
+        "title",
+        "url",
+        *extra,
+        *hits,
     )
 
 

@@ -133,6 +133,31 @@ def test_bm25_topk_title_boost_matches_pure_oracle(spark):
         assert abs(got[d] - want[d]) < 1e-6, d
 
 
+def test_bm25_topk_with_hits_false_same_scores(spark):
+    """with_hits=False is a pure projection knob: identical ranks/scores,
+    no matched_terms/highlight columns (and no collect_set in the plan)."""
+    from kgner.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, 3, "a b c", "t", "u"), (1, 2, "a d", "t", "u")],
+        "doc_id long, len long, sentence string, title string, url string",
+    )
+    postings = spark.createDataFrame(
+        [("a", 0, 1), ("b", 0, 1), ("c", 0, 1), ("a", 1, 1), ("d", 1, 1)],
+        "term string, doc_id long, tf long",
+    )
+    queries = spark.createDataFrame(
+        [(9, ["a", "b"])], "query_id long, tokens array<string>"
+    )
+    full = bm25_topk(queries, postings, docs, k=5)
+    lean = bm25_topk(queries, postings, docs, k=5, with_hits=False)
+    assert "matched_terms" not in lean.columns and "highlight" not in lean.columns
+    f = {(r.doc_id, r.rank): round(r.score, 9) for r in full.collect()}
+    l = {(r.doc_id, r.rank): round(r.score, 9) for r in lean.collect()}
+    assert f == l
+    assert "collect_set" not in lean._jdf.queryExecution().executedPlan().toString()
+
+
 # --- <EOS>/S-X context strip + conlleval remove_x -----------------------------
 
 def test_strip_context_tags_cuts_at_eos_or_sx(spark):
