@@ -202,7 +202,31 @@ def run_kg_pipeline(spark, n_pages: int = 1200) -> tuple[float, int]:
     return min(times), n
 
 
-def run_scaling_workload(spark, inflate: int = 448, n_pages: int = 800) -> tuple[float, int]:
+def _busy_loop(iters: int) -> float:
+    """One calibration worker: fixed CPU-bound python work, wall seconds."""
+    t0 = time.monotonic()
+    x = 0
+    for i in range(iters):
+        x += i % 7
+    return time.monotonic() - t0
+
+
+def calibrate_core_clock(conc: int, iters: int = 30_000_000) -> float:
+    """Median per-worker seconds for `conc` concurrent busy loops on the
+    current CPU affinity mask — measures the HOST's effective per-core clock
+    at this saturation level. On this sandbox the hypervisor/turbo budget
+    slows each core as more cores go busy (~11% at 16-of-32, ~25% at 32);
+    a real 4N cluster is 4N machines at the SAME clock, so the N-vs-4N
+    efficiency is reported both raw and clock-adjusted by the ratio of
+    these calibrations."""
+    import multiprocessing as mp
+
+    with mp.get_context("fork").Pool(conc) as p:
+        times = sorted(p.map(_busy_loop, [iters] * conc))
+    return times[len(times) // 2]
+
+
+def run_scaling_workload(spark, inflate: int | None = None, n_pages: int = 800) -> tuple[float, int]:
     """Mention-extraction throughput job for the N-vs-4N scaling measurement.
 
     This is the map-dominant hot path that owns ~all compute at 100 TB:
@@ -229,6 +253,11 @@ def run_scaling_workload(spark, inflate: int = 448, n_pages: int = 800) -> tuple
         prepare_alias_broadcast,
     )
 
+    if inflate is None:
+        # KGNER_SCALE_INFLATE lengthens the job (default ~42 s at 4 cores):
+        # longer jobs amortize fixed DAG/scheduling costs, the same way real
+        # 100 TB stages run minutes-to-hours per wave
+        inflate = int(os.environ.get("KGNER_SCALE_INFLATE", "448"))
     fx = build_fixtures(n_entities=150, n_pages=n_pages, giant_pages=2)
     t = to_spark(spark, fx)
     # 8 tasks per core-wave amortizes stragglers (giant pages) at any level
@@ -372,7 +401,13 @@ def one_session(master: str, shuffle_partitions: int, sf_dir: str, kg: bool):
 
 
 def scale_run(master: str, parts: int) -> None:
-    """Subprocess entry for one pinned scaling measurement."""
+    """Subprocess entry for one pinned scaling measurement. Also measures
+    the host's per-core clock at this pin width (calibrate_core_clock) so
+    the aggregator can separate job scaling from hypervisor clock loss."""
+    # calibrate BEFORE the JVM exists — nothing else competing for the pins
+    conc = len(os.sched_getaffinity(0))
+    calib = calibrate_core_clock(conc)
+
     from kgner.session import get_spark
 
     spark = get_spark("kgner-scale", master=master, shuffle_partitions=parts)
@@ -380,7 +415,8 @@ def scale_run(master: str, parts: int) -> None:
     sec, n = run_scaling_workload(spark)
     spark.stop()
     print(json.dumps({"sec": round(sec, 3), "mentions": n,
-                      "mentions_per_sec": round(n / sec, 1)}))
+                      "mentions_per_sec": round(n / sec, 1),
+                      "cores": conc, "calib_core_sec": round(calib, 3)}))
 
 
 def main() -> None:
@@ -449,7 +485,17 @@ def main() -> None:
             runs = sorted(samples[label], key=lambda r: r["sec"])
             res[label] = {**runs[len(runs) // 2], "all_sec": [r["sec"] for r in samples[label]]}
         eff = (res["n4"]["sec"] / res["n16"]["sec"]) / 4
-        result["scaling"] = {**res, "efficiency": round(eff, 3)}
+        # hypervisor/turbo clock loss at the wider pin (see
+        # calibrate_core_clock): a real 4N cluster runs 4N machines at the
+        # SAME clock, so the job-level efficiency adjusts by the measured
+        # per-core slowdown ratio
+        clock = res["n16"]["calib_core_sec"] / res["n4"]["calib_core_sec"]
+        result["scaling"] = {
+            **res,
+            "efficiency_raw": round(eff, 3),
+            "host_clock_factor_16v4": round(clock, 3),
+            "efficiency_clock_adjusted": round(eff * clock, 3),
+        }
 
     print(json.dumps(result))
 
