@@ -1554,6 +1554,10 @@ def q_contextual_spans(spark, sf_dir):
             lambda _, i: F.when(i < F.col("sent_len"), "O").otherwise("S-X"),
         ),
     ).withColumn("subtoken_len", F.size("tokens"))
+    # the assemble_context chain feeds BOTH the tagger input and the
+    # tokens/gold join side — checkpoint so it runs once (same pattern as
+    # q_span_f1)
+    base = base.localCheckpoint(eager=False)
 
     gaz = set(GAZ)
     tagset = ["O", "B-ENT", "I-ENT"]
