@@ -80,6 +80,29 @@ def decode_predictions(predictions: DataFrame) -> DataFrame:
 ENSEMBLED_SCHEMA = "url string, sent_id int, start int, end int, label string"
 
 
+@pandas_udf(_SPAN_TYPE)
+def _pick_spans_udf(
+    cands: pd.Series, n_models: pd.Series, threshold: pd.Series
+) -> pd.Series:
+    """Greedy majority pick per sentence, batched: each row carries ONE
+    sentence's full candidate list (array<struct<start,end,label,votes>>), so
+    an Arrow batch processes thousands of sentences in one call — unlike a
+    grouped-map, which pays a pandas DataFrame per (url, sent_id) group."""
+    out = []
+    for c, nm, th in zip(cands, n_models, threshold):
+        sv = {
+            (int(d["start"]), int(d["end"]), str(d["label"])): int(d["votes"])
+            for d in (c if c is not None else [])
+        }
+        out.append(
+            [
+                {"start": s, "end": e, "label": lbl}
+                for s, e, lbl in majority_vote(sv, int(nm), float(th))
+            ]
+        )
+    return pd.Series(out)
+
+
 def ensemble_votes(
     predictions: DataFrame, threshold_ratio: float = 0.5
 ) -> DataFrame:
@@ -88,6 +111,11 @@ def ensemble_votes(
     n_models is computed per sentence (countDistinct model_id) so partially-
     covered sentences use the correct denominator, as the reference's
     per-file accumulation does.
+
+    Shape: vote counting is a map-side-combinable groupBy on the span key;
+    candidates then collect to ONE array row per sentence and the
+    sequential-within-a-sentence greedy pick runs as a scalar Arrow UDF
+    (vectorized across sentences per batch — no per-group pandas overhead).
     """
     spans = decode_predictions(predictions)
     votes = spans.groupBy("url", "sent_id", "start", "end", "label").agg(
@@ -96,26 +124,25 @@ def ensemble_votes(
     n_models = predictions.groupBy("url", "sent_id").agg(
         F.countDistinct("model_id").cast("int").alias("n_models")
     )
-    both = votes.join(n_models, ["url", "sent_id"])
-
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        nm = int(pdf["n_models"].iloc[0])
-        sv = {
-            (int(r.start), int(r.end), str(r.label)): int(r.votes)
-            for r in pdf.itertuples()
-        }
-        chosen = majority_vote(sv, nm, threshold_ratio)
-        return pd.DataFrame(
-            {
-                "url": pdf["url"].iloc[0],
-                "sent_id": pdf["sent_id"].iloc[0],
-                "start": pd.Series([s for s, _, _ in chosen], dtype="int32"),
-                "end": pd.Series([e for _, e, _ in chosen], dtype="int32"),
-                "label": pd.Series([l for _, _, l in chosen], dtype="object"),
-            }
-        )
-
-    return both.groupBy("url", "sent_id").applyInPandas(pick, ENSEMBLED_SCHEMA)
+    per_sent = (
+        votes.groupBy("url", "sent_id")
+        .agg(F.collect_list(F.struct("start", "end", "label", "votes")).alias("cands"))
+        .join(n_models, ["url", "sent_id"])
+    )
+    picked = per_sent.select(
+        "url",
+        "sent_id",
+        F.explode(
+            _pick_spans_udf("cands", "n_models", F.lit(threshold_ratio))
+        ).alias("s"),
+    )
+    return picked.select(
+        "url",
+        "sent_id",
+        F.col("s.start").alias("start"),
+        F.col("s.end").alias("end"),
+        F.col("s.label").alias("label"),
+    )
 
 
 def strip_context_tags(
