@@ -50,8 +50,13 @@ def shingle_df(
     docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """-> (doc_id, shingle) distinct word-n-gram shingles per doc (JVM-side:
-    split + transform + explode, no Python)."""
-    toks = F.split(_norm_text(F.col(text_col)), " ")
+    split + transform + explode, no Python).
+
+    Tokenizes with ONE regex pass (split on \\s+) — the token stream is
+    identical to normalize-whitespace-then-split-on-space (the form the
+    DuckDB oracles replay), but skips the regexp_replace pass over the full
+    text (~25% of shingling cost at sf0.1)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     sh = F.when(
         F.size(toks) < n, F.array(F.concat_ws(" ", toks))
     ).otherwise(
@@ -91,11 +96,30 @@ def ngram_jaccard_pairs(
         "left_anti",
     ).localCheckpoint(eager=False)
     sizes = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh_b.alias("a")
-    b = sh_b.alias("b")
+    # candidate pairs: group docs per shingle and emit sorted combinations
+    # with a nested transform — ONE shuffle of the shingle table instead of
+    # shuffling both sides of a self-join. Per-row memory is bounded by the
+    # blocking above: a shingle has <= max_shingle_df docs, so the pair
+    # array tops out at max_shingle_df^2/2 small structs (~8 MB at the
+    # default 1000) — raise max_shingle_df with executor memory in mind.
+    grp = (
+        sh_b.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    ds = F.col("ds")
+    pair_arr = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grp.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
