@@ -280,9 +280,11 @@ def simhash(
     (default xxhash64; kgner.functions.hashing.stable_hash64_col for the
     oracle-reproducible md5 variant).
     """
+    # one regex pass (same token stream as normalize-then-split, which the
+    # DuckDB oracle replays)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("tok"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("h", hash_fn(F.col("tok")))
     sums = toks.groupBy("doc_id").agg(
         *[

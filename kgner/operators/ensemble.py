@@ -136,12 +136,13 @@ def ensemble_votes(
             _pick_spans_udf("cands", "n_models", F.lit(threshold_ratio))
         ).alias("s"),
     )
+    # enforce the ENSEMBLED_SCHEMA contract the grouped-map used to apply
     return picked.select(
-        "url",
-        "sent_id",
-        F.col("s.start").alias("start"),
-        F.col("s.end").alias("end"),
-        F.col("s.label").alias("label"),
+        F.col("url").cast("string").alias("url"),
+        F.col("sent_id").cast("int").alias("sent_id"),
+        F.col("s.start").cast("int").alias("start"),
+        F.col("s.end").cast("int").alias("end"),
+        F.col("s.label").cast("string").alias("label"),
     )
 
 

@@ -43,6 +43,37 @@ def hash_embedding(tokens: list[str], dim: int = 32) -> np.ndarray:
     return out
 
 
+# per-process cache for file-loaded embedding tables, keyed by path — lives
+# OUTSIDE the embedder object so a driver-side call never puts the table
+# into the pickled task closure (only the path string ships)
+_NPZ_TABLE_CACHE: dict[str, tuple[np.ndarray, dict[str, int]]] = {}
+
+
+class _NpzEmbedder:
+    """Picklable embed_fn backed by a frozen .npz weight file. Serializes as
+    just the PATH; each process (driver or executor python worker) loads the
+    table once into _NPZ_TABLE_CACHE on first call."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def __call__(self, pieces: list[str]) -> np.ndarray:
+        entry = _NPZ_TABLE_CACHE.get(self.path)
+        if entry is None:
+            with np.load(self.path, allow_pickle=False) as z:
+                table = np.vstack([z["vectors"], z["oov"][None, :]]).astype(
+                    np.float64
+                )
+                lookup = {t: i for i, t in enumerate(z["vocab"].tolist())}
+            entry = _NPZ_TABLE_CACHE[self.path] = (table, lookup)
+        table, lookup = entry
+        oov = len(table) - 1
+        idx = np.fromiter(
+            (lookup.get(p, oov) for p in pieces), dtype=np.int64, count=len(pieces)
+        )
+        return table[idx]
+
+
 def load_npz_embedder(path: str) -> Callable[[list[str]], np.ndarray]:
     """Load a FROZEN embedding table and return an ``embed_fn`` with the
     exact call shape a real model runtime has behind this seam:
@@ -58,28 +89,15 @@ def load_npz_embedder(path: str) -> Callable[[list[str]], np.ndarray]:
     ((V, dim) rows) and ``oov`` (the out-of-vocabulary row), and the
     "forward pass" is a vectorized row gather.
 
-    The file is read lazily ON FIRST CALL (i.e. inside the executor-side
-    UDF, not on the driver) and memoized per process. At cluster scale ship
-    it with ``spark.sparkContext.addFile(path)`` / ``spark-submit --files``
+    The returned embedder pickles as ONLY the path (a per-process cache
+    holds the table), so calling it on the driver first — e.g. a sanity
+    check — cannot bloat task closures with the full weight matrix. Each
+    executor worker reads the file once. At cluster scale ship the file
+    with ``spark.sparkContext.addFile(path)`` / ``spark-submit --files``
     and pass ``SparkFiles.get(name)`` — the same distribution story as any
     model artifact (SURVEY §2 S-10).
     """
-    state: dict = {}
-
-    def embed(pieces: list[str]) -> np.ndarray:
-        if not state:
-            with np.load(path, allow_pickle=False) as z:
-                table = np.vstack([z["vectors"], z["oov"][None, :]])
-                state["table"] = table.astype(np.float64)
-                state["lookup"] = {t: i for i, t in enumerate(z["vocab"].tolist())}
-                state["oov_idx"] = len(table) - 1
-        lookup, oov = state["lookup"], state["oov_idx"]
-        idx = np.fromiter(
-            (lookup.get(p, oov) for p in pieces), dtype=np.int64, count=len(pieces)
-        )
-        return state["table"][idx]
-
-    return embed
+    return _NpzEmbedder(path)
 
 
 def _batched_inference(

@@ -923,30 +923,47 @@ FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.tok < b.tok
 """.replace("{gaz}", GAZ_SQL)
 
 
+def bm25_contract_inputs(spark, sf_dir):
+    """ONE definition of the bm25 contract workload — corpus postings
+    (localCheckpointed: one tokenize+explode scan feeds every consumer),
+    docs with token-count lens, and the doc_id < 5 six-term query set —
+    shared by q_bm25_retrieval AND bench.py's production variant so the two
+    benchmarked variants can never drift into measuring different
+    workloads."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    postings = (
+        d.select(F.col("doc_id"), F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    queries = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_distinct(F.slice(toks, 1, 6)).alias("qterms"),
+    )
+    docs = d.select(
+        "doc_id",
+        F.size(toks).alias("len"),
+        F.col("text").alias("sentence"),
+        F.lit("").alias("title"),
+        F.lit("").alias("url"),
+    )
+    return queries, postings, docs
+
+
 def q_bm25_retrieval(spark, sf_dir):
     """J-1 FLAGSHIP: BM25 top-k similarity join — the documents table is both
     corpus (postings/docs) and query set (first 6 tokens of doc_id < 5).
     Ranks order by ROUNDED score so cross-engine float noise can't flip them."""
-    d = _t(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
-    doc_toks = d.select(F.col("doc_id"), F.explode(toks).alias("term"))
-    # ONE tokenize+explode scan feeds everything: postings materialized via
-    # localCheckpoint; doc lens = sum(tf) over postings (identical value to
-    # counting raw tokens — no second corpus scan).
-    postings = (
-        doc_toks.groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    queries, postings, _ = bm25_contract_inputs(spark, sf_dir)
+    # doc lens = sum(tf) over postings (identical value to counting raw
+    # tokens — no second corpus scan)
     lens = postings.groupBy("doc_id").agg(F.sum("tf").alias("len"))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
     )
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    queries = d.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"),
-        F.array_distinct(F.slice(toks, 1, 6)).alias("qterms"),
-    )
     qt = queries.select("query_id", F.explode("qterms").alias("term"))
     from kgner.bm25 import B, K1
 
@@ -1540,12 +1557,17 @@ def q_contextual_spans(spark, sf_dir):
         .select("query_id", "rank", "sentence")
     )
     aug = assemble_context(sents, ctxs, budget=100)
-    atoks = F.split(F.trim(F.col("augmented")), r"\s+")
+    # split on a SINGLE literal space with no trim: the sentence region is
+    # concat_ws(' ') of _toks slices, so this reproduces those tokens
+    # EXACTLY — including a leading '' token when the raw text starts with
+    # non-space whitespace (trim + \s+ would drop it and shift every
+    # position one left of the oracle's ord numbering)
+    atoks = F.split(F.col("augmented"), " ", -1)
     base = aug.select(
         F.col("query_id").cast("string").alias("url"),
         F.lit(0).cast("int").alias("sent_id"),
         atoks.alias("tokens"),
-        F.size(F.split(F.col("sentence"), r"\s+")).alias("sent_len"),
+        F.size(F.split(F.col("sentence"), " ", -1)).alias("sent_len"),
     ).withColumn(
         # gold: original region O, context region the reference's S-X filler
         "gold_tags",

@@ -320,6 +320,41 @@ def test_augmented_inference_e2e(spark):
     assert m2["PER"].fp > 0 and m2["PER"].precision < 1.0
 
 
+def test_contextual_spans_handles_leading_whitespace(spark, tmp_path):
+    """A document whose text begins with non-space whitespace produces a
+    leading '' token under the oracle's \\s+ split; the query must keep the
+    same position numbering (regression: trim + \\s+ on the augmented string
+    dropped that token and shifted every span one left)."""
+    import duckdb
+
+    from kgner.queries import ORACLES, q_contextual_spans
+
+    rows = [
+        (0, "\tspark is here"),
+        (1, "customer table appears with spark stuff inside this text"),
+        (2, "plain filler words only here"),
+        (3, "join window spark"),
+        (4, "  two leading spaces spark"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{sf_dir}/documents.parquet"
+    )
+    got = sorted(
+        (r.doc_id, r.start_pos, r.span_len)
+        for r in q_contextual_spans(spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(ORACLES["contextual_spans"]).fetchall())
+    assert got == want
+    # the leading-tab doc's island sits at ord 2 (after the '' token)
+    assert (0, 2, 1) in got
+
+
 def test_highlight_roundtrips_unmatched_text(spark):
     from kgner.operators.retrieval import highlight_col
 
