@@ -87,6 +87,24 @@ def test_mentions_join_candidates_single_scan(spark):
     assert plan.count("documents.parquet") == 1
 
 
+def test_strip_and_remove_x_are_jvm_only(spark):
+    """strip_context_tags and remove_x_tokens are pure array expressions —
+    no Python eval nodes, no exchange (map-only at any scale)."""
+    from kgner.operators.ensemble import remove_x_tokens, strip_context_tags
+
+    df = spark.createDataFrame(
+        [(["a", "<EOS>", "b"], ["O", "O", "B-ENT"], ["O", "S-X", "S-X"])],
+        "tokens array<string>, tags array<string>, gold_tags array<string>",
+    )
+    for out in (
+        strip_context_tags(df, gold_col="gold_tags"),
+        remove_x_tokens(df, gold_col="gold_tags", cols=("tokens", "tags")),
+    ):
+        plan = _plan(out)
+        assert "Python" not in plan
+        assert "Exchange" not in plan
+
+
 def test_minhash_contract_is_jvm_only(spark):
     """The md5-seeded affine minhash family must stay whole-stage-codegen
     long arithmetic — no Python eval nodes anywhere in the contract query."""
