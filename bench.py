@@ -90,9 +90,25 @@ def prod_bm25_retrieval(spark, sf_dir):
     )
 
 
+def prod_simhash_dups(spark, sf_dir):
+    """q_simhash_dups with the production xxhash64 token hashes (the
+    contract variant pays one md5 PER TOKEN so DuckDB can replay the
+    majority-vote bits)."""
+    from pyspark.sql import functions as F
+
+    from kgner.operators.dedup import simhash_near_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    doubled = d.unionByName(
+        d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return simhash_near_pairs(doubled, max_hamming=0)
+
+
 PROD_VARIANTS = {
     "minhash_lsh": (prod_minhash_lsh, "production: xxhash64 signatures"),
     "bm25_retrieval": (prod_bm25_retrieval, "production: score-only, with_hits=False"),
+    "simhash_dups": (prod_simhash_dups, "production: xxhash64 token hashes"),
 }
 
 
