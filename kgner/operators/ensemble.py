@@ -211,7 +211,12 @@ def remove_x_tokens(
     return out.drop("__keep_idx")
 
 
-def span_f1(gold: DataFrame, pred: DataFrame, remove_x: bool = False) -> DataFrame:
+def span_f1(
+    gold: DataFrame,
+    pred: DataFrame,
+    remove_x: bool = False,
+    mention_only: bool = False,
+) -> DataFrame:
     """Chunk-level P/R/F1 per label + micro, conlleval semantics
     (/root/reference/conlleval_perl.py:207-350) as a pure DataFrame agg.
 
@@ -219,13 +224,24 @@ def span_f1(gold: DataFrame, pred: DataFrame, remove_x: bool = False) -> DataFra
     (conlleval_perl.py:244-246 skips gold-X token lines; at span level that
     drops X-labeled spans from the gold and prediction sets — for the exact
     token-level renumbering semantics apply `remove_x_tokens` to the tag
-    streams BEFORE decoding instead)."""
+    streams BEFORE decoding instead).
+
+    mention_only=True scores type-agnostically: every label collapses to
+    'ENT' before matching, the reference's mention mode / label2mention
+    (conlleval_perl.py:247-251; ensemble_prediction.py:330-338
+    ``label2mention``). Applied AFTER remove_x, matching the perl script's
+    line order — with both flags on, X spans are removed first, the rest
+    collapse. Boundary-only matches then count as correct even when the
+    types disagree."""
     key = ["url", "sent_id", "start", "end", "label"]
     g = gold.select(*key).distinct()
     p = pred.select(*key).distinct()
     if remove_x:
         g = g.filter(F.col("label") != "X")
         p = p.filter(F.col("label") != "X")
+    if mention_only:
+        g = g.withColumn("label", F.lit("ENT")).distinct()
+        p = p.withColumn("label", F.lit("ENT")).distinct()
     tp = g.join(p, key, "inner").groupBy("label").agg(F.count(F.lit(1)).alias("tp"))
     fp = p.join(g, key, "left_anti").groupBy("label").agg(
         F.count(F.lit(1)).alias("fp")

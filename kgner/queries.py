@@ -1648,6 +1648,62 @@ FROM g GROUP BY doc_id, isl
 """.replace("{gaz}", GAZ_SQL)
 
 
+def q_span_f1_mention(spark, sf_dir):
+    """A-2/A-5 mention mode (conlleval --mention, conlleval_perl.py:247-251;
+    ensemble_prediction.py label2mention): gold spans typed by their FIRST
+    gazetteer token, predictions by their LAST — strict scoring rejects
+    every multi-token island whose endpoint tokens differ, so tp equals the
+    TOTAL island count (the hash-checked value) only if the type-agnostic
+    collapse actually runs."""
+    from kgner.operators.ensemble import span_f1
+
+    spans = (
+        q_entity_spans(spark, sf_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.lit(0).cast("int").alias("sent_id"),
+            F.col("start_pos").cast("int").alias("start"),
+            (F.col("start_pos") + F.col("span_len")).cast("int").alias("end"),
+            F.split("span_text", " ").alias("words"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    gold = spans.withColumn("label", F.upper(F.get("words", 0))).drop("words")
+    pred = spans.withColumn(
+        "label", F.upper(F.get("words", F.size("words") - 1))
+    ).drop("words")
+    out = span_f1(gold, pred, mention_only=True)
+    return out.select(
+        "label",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.round(F.col("precision").cast("double"), 6).alias("precision"),
+        F.round(F.col("recall").cast("double"), 6).alias("recall"),
+        F.round(F.col("f1").cast("double"), 6).alias("f1"),
+    )
+
+
+ORACLE_SPAN_F1_MENTION = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id, ord, ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+  FROM t WHERE tok IN {gaz}
+), islands AS (SELECT doc_id, isl FROM g GROUP BY doc_id, isl)
+SELECT 'ENT' AS label,
+       CAST(count(*) AS BIGINT) AS tp,
+       CAST(0 AS BIGINT) AS fp,
+       CAST(0 AS BIGINT) AS fn,
+       round(CAST(1.0 AS DOUBLE), 6) AS precision,
+       round(CAST(1.0 AS DOUBLE), 6) AS recall,
+       round(CAST(1.0 AS DOUBLE), 6) AS f1
+FROM islands
+""".replace("{gaz}", GAZ_SQL)
+
+
 def q_span_f1_by_label(spark, sf_dir):
     """A-2/A-5 per-type table: conlleval's per-label P/R/F1 lines
     (conlleval_perl.py:207-350 prints one row per entity type). Label = the
@@ -2353,6 +2409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_f1_by_label": q_span_f1_by_label,
     "ensemble_spans": q_ensemble_spans,
     "contextual_spans": q_contextual_spans,
+    "span_f1_mention": q_span_f1_mention,
     "cube_counts": q_cube_counts,
     "stratified_head": q_stratified_head,
     "approx_distinct": q_approx_distinct,
@@ -2406,6 +2463,7 @@ ORACLES: dict[str, str] = {
     "span_f1_by_label": ORACLE_SPAN_F1_BY_LABEL,
     "ensemble_spans": ORACLE_ENSEMBLE,  # 1-vote spans rejected -> exactly the islands
     "contextual_spans": ORACLE_CONTEXTUAL,  # context-region tags stripped pre-vote
+    "span_f1_mention": ORACLE_SPAN_F1_MENTION,  # tp = ALL islands iff collapse runs
     "cube_counts": ORACLE_CUBE,
     "stratified_head": ORACLE_STRATIFIED,
     "approx_distinct": ORACLE_APPROX,  # HLL relative-error bound, not the sketch value

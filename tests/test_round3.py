@@ -240,6 +240,31 @@ def test_span_f1_remove_x_flag(spark):
     assert no_x["PER"] == (1, 0, 0)
 
 
+def test_span_f1_mention_mode(spark):
+    """conlleval --mention (conlleval_perl.py:247-251): labels collapse to
+    ENT so boundary-only matches score; remove_x runs FIRST (perl line
+    order), so an X span never sneaks in as an ENT match."""
+    from kgner.operators.ensemble import span_f1
+
+    gold = spark.createDataFrame(
+        [("u", 0, 0, 2, "PER"), ("u", 0, 4, 5, "LOC"), ("u", 0, 8, 9, "X")],
+        "url string, sent_id int, start int, end int, label string",
+    )
+    pred = spark.createDataFrame(
+        # right boundaries, wrong type for the first; X predicted where gold X
+        [("u", 0, 0, 2, "ORG"), ("u", 0, 4, 5, "LOC"), ("u", 0, 8, 9, "X")],
+        "url string, sent_id int, start int, end int, label string",
+    )
+    strict = {r.label: (r.tp, r.fp, r.fn) for r in span_f1(gold, pred).collect()}
+    assert strict["PER"] == (0, 0, 1) and strict["ORG"] == (0, 1, 0)
+    m = {r.label: (r.tp, r.fp, r.fn)
+         for r in span_f1(gold, pred, mention_only=True).collect()}
+    assert m == {"ENT": (3, 0, 0)}  # X collapses to ENT when not removed
+    mx = {r.label: (r.tp, r.fp, r.fn)
+          for r in span_f1(gold, pred, remove_x=True, mention_only=True).collect()}
+    assert mx == {"ENT": (2, 0, 0)}  # remove_x applied before the collapse
+
+
 def test_augmented_inference_e2e(spark):
     """E2E over AUGMENTED sentences: assemble_context -> CRF tags the whole
     augmented stream (context region included) -> strip_context_tags ->
