@@ -3,12 +3,13 @@
 Reference analogues (/root/reference):
 - BIOES span decode       flair/data.py:455-532, ensemble_prediction.py:45-117
 - vote count              ensemble_prediction.py:383-395 -> groupBy().count()
-- greedy non-overlap pick ensemble_prediction.py:399-416 -> applyInPandas per
-  sentence (sequential within a sentence, embarrassingly parallel across
-  sentences — the natural grouped-map shape)
+- greedy non-overlap pick ensemble_prediction.py:399-416 -> per-sentence
+  candidate arrays through a batched scalar Arrow UDF (sequential within a
+  sentence, thousands of sentences per batch — tiny per-sentence groups
+  make a grouped-map pay a pandas DataFrame per group, ~10x slower)
 
-Scale notes: one shuffle to group votes by (url, sent_id, span), one grouped-
-map shuffle by sentence. Vote counting is a map-side-combinable groupBy.
+Scale notes: one map-side-combinable shuffle to count votes by
+(url, sent_id, span), one shuffle to collect candidates per sentence.
 """
 
 from __future__ import annotations

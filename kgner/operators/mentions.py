@@ -22,12 +22,61 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from kgner.linkops import build_alias_index, match_aliases
 
 MENTIONS_SCHEMA = (
     "url string, sent_id int, start int, end int, text string, entity_id string"
 )
+
+_MENTION_PICK_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("text", StringType()),
+            StructField("entity_id", StringType()),
+        ]
+    )
+)
+
+
+@pandas_udf(_MENTION_PICK_TYPE)
+def _pick_mentions_udf(cands: pd.Series) -> pd.Series:
+    """Greedy longest-first-then-leftmost non-overlap pick over one
+    sentence's candidate array, batched across sentences per Arrow batch.
+    Occupancy is a boolean array, so accepting a candidate is an O(len)
+    slice op. Zero-width / negative spans are rejected up front — the
+    occupancy sweep assumes well-formed half-open spans (an empty slice
+    would be accepted unconditionally, a negative index would wrap); the
+    n-gram generator can only emit end = start + ln (ln >= 1, start >= 0),
+    so the guard pins the invariant for any other candidate source."""
+    import numpy as np
+
+    out = []
+    for c in cands:
+        c = sorted(
+            (d for d in (c if c is not None else [])
+             if d["end"] > d["start"] >= 0),
+            key=lambda d: (d["start"] - d["end"], d["start"]),
+        )
+        occupied = np.zeros(max((d["end"] for d in c), default=0), dtype=bool)
+        kept = []
+        for d in c:
+            s, e = int(d["start"]), int(d["end"])
+            if not occupied[s:e].any():
+                occupied[s:e] = True
+                kept.append(d)
+        out.append(kept)
+    return pd.Series(out)
 
 
 def prepare_alias_broadcast(spark: SparkSession, aliases: DataFrame):
@@ -180,39 +229,25 @@ def mentions_by_join(
         F.lower(F.col("text")) == F.col("alias_norm"),
     ).select("url", "sent_id", "start", "end", "text",
              F.col("canonical_id").alias("entity_id"))
-    # greedy longest-first non-overlap per sentence
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("url", "sent_id").orderBy(
-        (F.col("end") - F.col("start")).desc(), F.col("start").asc()
+    # greedy longest-first non-overlap per sentence: candidates collect to
+    # ONE array row per sentence and the pick runs as a batched scalar
+    # Arrow UDF (thousands of sentences per batch) — a grouped-map here
+    # paid a pandas DataFrame per tiny (url, sent_id) group, and the
+    # sort-inside-the-UDF also replaces the row_number window (one less
+    # shuffle+sort)
+    per_sent = joined.groupBy("url", "sent_id").agg(
+        F.collect_list(F.struct("start", "end", "text", "entity_id")).alias("cands")
     )
-    ranked = joined.withColumn("rk", F.row_number().over(w))
-    # small per-sentence candidate sets: resolve overlaps in a grouped UDF
-    import pandas as pd  # noqa: F811
-
-    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
-        # vectorized greedy non-overlap: token positions are small ints, so
-        # track occupancy in a boolean array — accepting a candidate is an
-        # O(len) slice op, no per-row python objects (was pdf.iterrows())
-        import numpy as np
-
-        pdf = pdf.sort_values("rk")
-        # the occupancy sweep assumes well-formed half-open spans: a zero-
-        # width candidate (start == end) would slice an empty range and be
-        # accepted unconditionally, and a negative index would wrap around.
-        # The n-gram generator above can only emit end = start + ln (ln >= 1,
-        # start >= 0), so this filter is a no-op there — it pins the
-        # invariant for any other candidate source routed through pick.
-        pdf = pdf[(pdf["end"] > pdf["start"]) & (pdf["start"] >= 0)]
-        starts = pdf["start"].to_numpy()
-        ends = pdf["end"].to_numpy()
-        occupied = np.zeros(int(ends.max()) if len(ends) else 0, dtype=bool)
-        keep = np.zeros(len(pdf), dtype=bool)
-        for i in range(len(pdf)):
-            s, e = int(starts[i]), int(ends[i])
-            if not occupied[s:e].any():
-                occupied[s:e] = True
-                keep[i] = True
-        return pdf[keep].drop(columns=["rk"])
-
-    return ranked.groupBy("url", "sent_id").applyInPandas(pick, MENTIONS_SCHEMA)
+    picked = per_sent.select(
+        "url",
+        "sent_id",
+        F.explode(_pick_mentions_udf("cands")).alias("m"),
+    )
+    return picked.select(
+        F.col("url").cast("string").alias("url"),
+        F.col("sent_id").cast("int").alias("sent_id"),
+        F.col("m.start").cast("int").alias("start"),
+        F.col("m.end").cast("int").alias("end"),
+        F.col("m.text").cast("string").alias("text"),
+        F.col("m.entity_id").cast("string").alias("entity_id"),
+    )
