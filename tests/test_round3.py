@@ -199,6 +199,24 @@ def test_strip_context_tags_eos_only_without_gold(spark):
     assert r.tokens == ["x"] and r.tags == ["B-ENT"]
 
 
+def test_strip_and_remove_x_null_and_empty_rows(spark):
+    """Null and empty token streams pass through unchanged (null-propagating
+    array expressions) — junk rows can't crash the strip path."""
+    from kgner.operators.ensemble import remove_x_tokens, strip_context_tags
+
+    df = spark.createDataFrame(
+        [(None, None, None), ([], [], [])],
+        "tokens array<string>, tags array<string>, gold_tags array<string>",
+    )
+    for out in (
+        strip_context_tags(df, gold_col="gold_tags"),
+        remove_x_tokens(df, gold_col="gold_tags", cols=("tokens", "tags")),
+    ):
+        rows = out.collect()
+        assert rows[0].tokens is None and rows[0].tags is None
+        assert rows[1].tokens == [] and rows[1].tags == []
+
+
 def test_remove_x_tokens_renumbers_like_conlleval(spark):
     """conlleval_perl.py:244-246: gold-X token lines are skipped entirely —
     parallel streams shrink and positions renumber."""
