@@ -230,11 +230,21 @@ class Pipeline:
         if self._done("ensembled"):
             self.skipped.append("ensembled")
             return
-        from kgner.operators.ensemble import ensemble_votes
+        from kgner.operators.ensemble import ensemble_votes, strip_context_tags
 
+        preds = self.inputs["model_predictions"]
+        if "tokens" in preds.columns:
+            # predictions over AUGMENTED sentences (the retrievals stage's
+            # `<EOS>`-joined output) carry the model's token stream —
+            # truncate every stream at the first <EOS> (plus gold S-X when
+            # provided) BEFORE voting (ensemble_prediction.py:356-361), so
+            # spans the model hallucinated inside the retrieved-context
+            # region can never reach the graph
+            gold = "gold_tags" if "gold_tags" in preds.columns else None
+            preds = strip_context_tags(preds, strip_cols=("tags",), gold_col=gold)
         self._write(
             "ensembled",
-            ensemble_votes(self.inputs["model_predictions"]),
+            ensemble_votes(preds.select("model_id", "url", "sent_id", "tags")),
             inputs=("model_predictions",),
         )
 

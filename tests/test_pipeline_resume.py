@@ -85,3 +85,53 @@ def test_pipeline_salted_same_output(spark, tmp_path):
     ta = {(r["subj"], r["pred"], r["obj"]) for r in a.run().collect()}
     tb = {(r["subj"], r["pred"], r["obj"]) for r in b.run().collect()}
     assert ta == tb
+
+
+def test_pipeline_ensemble_strips_augmented_predictions(spark, tmp_path):
+    """Predictions carrying an augmented token stream (sentence + <EOS> +
+    retrieved context) are truncated at <EOS> before voting: spans the
+    model planted in the context region never reach the ensembled table,
+    and the result equals ensembling the plain-sentence predictions."""
+    from pyspark.sql import functions as F
+
+    from kgner.fixtures import build_fixtures, to_spark
+    from kgner.operators.ensemble import ensemble_votes
+    from kgner.pipeline import Pipeline, PipelineConfig
+
+    fx = build_fixtures(n_entities=12, n_pages=20, giant_pages=0)
+    t = to_spark(spark, fx)
+    # augment every prediction: tokens = one placeholder per original tag
+    # + <EOS> + two context tokens; tags gain a B-ENT/I-ENT planted INSIDE
+    # the context region that must be stripped
+    preds = (
+        t["model_predictions"]
+        .withColumn(
+            "tokens",
+            F.concat(
+                F.transform(F.col("tags"), lambda _: F.lit("w")),
+                F.array(F.lit("<EOS>"), F.lit("ctx1"), F.lit("ctx2")),
+            ),
+        )
+        .withColumn(
+            "tags",
+            F.concat(
+                F.col("tags"),
+                F.array(F.lit("O"), F.lit("B-ENT"), F.lit("I-ENT")),
+            ),
+        )
+    )
+    cfg = PipelineConfig(workdir=str(tmp_path / "ws"))
+    pipe = Pipeline(
+        spark, cfg, t["pages"], t["kb_pages"], t["redirects"],
+        model_predictions=preds,
+    )
+    pipe.run()
+    got = {
+        (r.url, r.sent_id, r.start, r.end, r.label)
+        for r in spark.read.parquet(str(tmp_path / "ws" / "ensembled")).collect()
+    }
+    want = {
+        (r.url, r.sent_id, r.start, r.end, r.label)
+        for r in ensemble_votes(t["model_predictions"]).collect()
+    }
+    assert got == want and len(got) > 0
