@@ -52,10 +52,11 @@ def shingle_df(
     """-> (doc_id, shingle) distinct word-n-gram shingles per doc (JVM-side:
     split + transform + explode, no Python).
 
-    Tokenizes with ONE regex pass (split on \\s+) — the token stream is
-    identical to normalize-whitespace-then-split-on-space (the form the
-    DuckDB oracles replay), but skips the regexp_replace pass over the full
-    text (~25% of shingling cost at sf0.1)."""
+    Tokenizes with ONE regex pass (split on \\s+ after a space-only trim)
+    — the DuckDB oracles replay this exact form (including the '' edge
+    tokens text with leading/trailing non-space whitespace produces), and
+    it skips the old regexp_replace normalize pass over the full text
+    (~25% of shingling cost at sf0.1)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     sh = F.when(
         F.size(toks) < n, F.array(F.concat_ws(" ", toks))
@@ -280,8 +281,7 @@ def simhash(
     (default xxhash64; kgner.functions.hashing.stable_hash64_col for the
     oracle-reproducible md5 variant).
     """
-    # one regex pass (same token stream as normalize-then-split, which the
-    # DuckDB oracle replays)
+    # one regex pass; the DuckDB oracle replays this exact form
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),

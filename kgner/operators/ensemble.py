@@ -149,7 +149,7 @@ def ensemble_votes(
 
 def strip_context_tags(
     predictions: DataFrame,
-    tokens_col: str = "tokens",
+    tokens_col: str | None = "tokens",
     strip_cols: tuple[str, ...] = ("tags",),
     gold_col: str | None = None,
     eos: str = "<EOS>",
@@ -166,17 +166,26 @@ def strip_context_tags(
 
     `tokens_col` and every column in `strip_cols` (plus `gold_col` when
     given) are replaced by their pre-cut prefixes; all must be equal-length
-    arrays per row. Pure JVM (array_position + slice) — no Python, map-only,
-    scale-free.
+    arrays per row. `tokens_col=None` strips on the gold filler alone (the
+    reference's S-X condition fires even when no token stream is attached);
+    at least one of `tokens_col` / `gold_col` must be given. Pure JVM
+    (array_position + slice) — no Python, map-only, scale-free.
     """
-    eos_pos = F.nullif(F.array_position(F.col(tokens_col), eos), F.lit(0))
-    cut = eos_pos
+    if tokens_col is None and gold_col is None:
+        raise ValueError("strip_context_tags needs tokens_col or gold_col")
+    cut = None
+    if tokens_col is not None:
+        cut = F.nullif(F.array_position(F.col(tokens_col), eos), F.lit(0))
     if gold_col is not None:
         sx_pos = F.nullif(F.array_position(F.col(gold_col), filler_tag), F.lit(0))
-        cut = F.least(cut, sx_pos)  # least() skips nulls: min of the found positions
-    keep = F.coalesce(cut, F.size(F.col(tokens_col)) + 1) - 1
+        # least() skips nulls: min of the found positions
+        cut = sx_pos if cut is None else F.least(cut, sx_pos)
+    length_ref = tokens_col if tokens_col is not None else gold_col
+    keep = F.coalesce(cut, F.size(F.col(length_ref)) + 1) - 1
     out = predictions.withColumn("__keep", keep.cast("int"))
-    cols = [tokens_col, *strip_cols] + ([gold_col] if gold_col else [])
+    cols = ([tokens_col] if tokens_col else []) + list(strip_cols) + (
+        [gold_col] if gold_col else []
+    )
     for c in cols:
         out = out.withColumn(c, F.slice(F.col(c), 1, F.col("__keep")))
     return out.drop("__keep")

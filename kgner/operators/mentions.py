@@ -65,7 +65,8 @@ def _pick_mentions_udf(cands: pd.Series) -> pd.Series:
     for c in cands:
         c = sorted(
             (d for d in (c if c is not None else [])
-             if d["end"] > d["start"] >= 0),
+             if d["start"] is not None and d["end"] is not None
+             and d["end"] > d["start"] >= 0),
             key=lambda d: (d["start"] - d["end"], d["start"]),
         )
         occupied = np.zeros(max((d["end"] for d in c), default=0), dtype=bool)

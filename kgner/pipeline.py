@@ -233,15 +233,21 @@ class Pipeline:
         from kgner.operators.ensemble import ensemble_votes, strip_context_tags
 
         preds = self.inputs["model_predictions"]
-        if "tokens" in preds.columns:
+        has_tok = "tokens" in preds.columns
+        has_gold = "gold_tags" in preds.columns
+        if has_tok or has_gold:
             # predictions over AUGMENTED sentences (the retrievals stage's
-            # `<EOS>`-joined output) carry the model's token stream —
-            # truncate every stream at the first <EOS> (plus gold S-X when
-            # provided) BEFORE voting (ensemble_prediction.py:356-361), so
-            # spans the model hallucinated inside the retrieved-context
-            # region can never reach the graph
-            gold = "gold_tags" if "gold_tags" in preds.columns else None
-            preds = strip_context_tags(preds, strip_cols=("tags",), gold_col=gold)
+            # `<EOS>`-joined output) carry the model's token stream and/or
+            # gold S-X filler — truncate every stream at the first <EOS> /
+            # S-X BEFORE voting (ensemble_prediction.py:356-361: either
+            # condition alone fires), so spans the model hallucinated
+            # inside the retrieved-context region can never reach the graph
+            preds = strip_context_tags(
+                preds,
+                tokens_col="tokens" if has_tok else None,
+                strip_cols=("tags",),
+                gold_col="gold_tags" if has_gold else None,
+            )
         self._write(
             "ensembled",
             ensemble_votes(preds.select("model_id", "url", "sent_id", "tags")),

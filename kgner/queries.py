@@ -500,7 +500,7 @@ def q_shingles(spark, sf_dir):
 
 
 ORACLE_SHINGLES = r"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
            FROM documents)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(len(list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -537,7 +537,7 @@ WITH d AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 ), t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM d
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM d
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(
            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -594,7 +594,7 @@ WITH d AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 ), t AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks FROM d
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM d
 ), sh AS (
   SELECT doc_id, unnest(list_distinct(
            CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
@@ -664,7 +664,7 @@ WITH d AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents
 ), toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
   FROM d
 ), h AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
@@ -924,12 +924,13 @@ FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.tok < b.tok
 
 
 def bm25_contract_inputs(spark, sf_dir):
-    """ONE definition of the bm25 contract workload — corpus postings
-    (localCheckpointed: one tokenize+explode scan feeds every consumer),
-    docs with token-count lens, and the doc_id < 5 six-term query set —
-    shared by q_bm25_retrieval AND bench.py's production variant so the two
+    """ONE definition of the bm25 contract workload — shared by
+    q_bm25_retrieval AND bench.py's production variant so the two
     benchmarked variants can never drift into measuring different
-    workloads."""
+    workloads. The corpus is tokenized ONCE (the checkpointed postings
+    scan): doc lens come back from postings as sum(tf) — identical to the
+    raw token count — and the query set's tokenize touches only the
+    filter-pruned doc_id < 5 rows."""
     d = _t(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
     postings = (
@@ -942,13 +943,13 @@ def bm25_contract_inputs(spark, sf_dir):
         F.col("doc_id").alias("query_id"),
         F.array_distinct(F.slice(toks, 1, 6)).alias("qterms"),
     )
+    lens = postings.groupBy("doc_id").agg(F.sum("tf").alias("len"))
     docs = d.select(
         "doc_id",
-        F.size(toks).alias("len"),
         F.col("text").alias("sentence"),
         F.lit("").alias("title"),
         F.lit("").alias("url"),
-    )
+    ).join(lens, "doc_id")
     return queries, postings, docs
 
 
@@ -1701,6 +1702,7 @@ SELECT 'ENT' AS label,
        round(CAST(1.0 AS DOUBLE), 6) AS recall,
        round(CAST(1.0 AS DOUBLE), 6) AS f1
 FROM islands
+HAVING count(*) > 0  -- zero rows on gaz-free data, matching the Spark side
 """.replace("{gaz}", GAZ_SQL)
 
 

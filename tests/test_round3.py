@@ -188,6 +188,42 @@ def test_strip_context_tags_cuts_at_eos_or_sx(spark):
     assert got[3].tokens == [] and got[3].tags == []
 
 
+def test_strip_context_tags_gold_only_without_tokens(spark):
+    """The reference strips on gold S-X alone (ensemble_prediction.py:356-361
+    — either condition fires); predictions without a token stream must
+    still truncate at the filler."""
+    from kgner.operators.ensemble import strip_context_tags
+
+    df = spark.createDataFrame(
+        [(["O", "B-ENT", "B-ENT"], ["O", "S-X", "S-X"])],
+        "tags array<string>, gold_tags array<string>",
+    )
+    r = strip_context_tags(df, tokens_col=None, gold_col="gold_tags").head()
+    assert r.tags == ["O"] and r.gold_tags == ["O"]
+
+
+def test_span_f1_mention_oracle_zero_rows_on_gaz_free_data(spark, tmp_path):
+    """Gaz-free corpus: the Spark query returns zero rows and the oracle's
+    ungrouped aggregate must too (HAVING guard), or the driver's row-count
+    compare fails on 'nothing found'."""
+    import duckdb
+
+    from kgner.queries import ORACLES, q_span_f1_mention
+
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "nothing relevant at all"), (1, "more plain words")],
+        "doc_id long, text string",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    assert q_span_f1_mention(spark, sf_dir).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    assert con.execute(ORACLES["span_f1_mention"]).fetchall() == []
+
+
 def test_strip_context_tags_eos_only_without_gold(spark):
     from kgner.operators.ensemble import strip_context_tags
 
