@@ -148,22 +148,19 @@ def run_queries(
     )
 
     def timed(fn) -> float:
-        _clear_persisted(spark)
-        t0 = time.monotonic()
-        _materialize(fn(spark, sf_dir))
-        sec = time.monotonic() - t0
-        if sec > 8.0:
-            # probable outlier (single-JVM disk/GC noise inflates one sample
-            # 3-5x): take TWO more samples and report the MEDIAN of three —
-            # a min would be one-sidedly biased by cache-warm re-runs
-            samples = [sec]
-            for _ in range(2):
-                _clear_persisted(spark)  # same hygiene as the outer loop
-                t0 = time.monotonic()
-                _materialize(fn(spark, sf_dir))
-                samples.append(time.monotonic() - t0)
-            sec = sorted(samples)[1]
-        return round(sec, 3)
+        # median-of-3 for EVERY query: single-JVM disk/GC noise inflates one
+        # sample 3-5x and a single cold sample once inverted a paired
+        # production-vs-contract comparison (r3: score-only bm25 "slower"
+        # than the superset it subsumes). A min would be one-sidedly biased
+        # by cache-warm re-runs; the median keeps one cold and one hot
+        # outlier from steering the number.
+        samples = []
+        for _ in range(3):
+            _clear_persisted(spark)
+            t0 = time.monotonic()
+            _materialize(fn(spark, sf_dir))
+            samples.append(time.monotonic() - t0)
+        return round(sorted(samples)[1], 3)
 
     out: dict[str, float] = {}
     variants: dict[str, str] = {}
@@ -520,7 +517,12 @@ def main() -> None:
             **res,
             "pairs": pairs,
             "efficiency_raw": med("eff_raw"),
+            # UPPER-BOUND estimate: the clock factor comes from a pure-Python
+            # busy loop, but the Spark job mixes JVM/shuffle/IO that may not
+            # degrade with core clock 1:1 — quote eff_raw as the measured
+            # floor and eff_clock_adjusted as the same-clock-cluster bound.
             "efficiency_clock_adjusted": med("eff_clock_adjusted"),
+            "adjusted_is_upper_bound": True,
         }
 
     print(json.dumps(result))

@@ -44,9 +44,11 @@ def bm25_rank(
     boost=2.0)` clause (kb/generate_data.py:52-55) with ES-exact semantics:
     bool.should SUMS clause scores and the boost MULTIPLIES the TITLE-FIELD
     BM25 score — tf counted in the title tokens, title length / avg title
-    length as the field norm, df = #titles containing the term.
-    `title_tokens` maps doc_id -> its title token list (ALL docs, so the
-    field statistics match the Spark side's corpus-wide aggregates).
+    length as the field norm, df = #titles containing the term, idf's N =
+    #docs with a non-empty title (ES/Lucene per-field docCount).
+    `title_tokens` maps doc_id -> its title token list; docs with no title
+    may be omitted or mapped to [] — both are excluded from the field
+    statistics, matching the Spark side's empty-title filter.
     """
     n_docs = len(doc_lens)
     if n_docs == 0:
@@ -65,16 +67,19 @@ def bm25_rank(
                 tf, doc_lens[doc_id], avg_len, df, n_docs
             )
     if boost_terms and title_tokens:
-        avg_tlen = sum(len(t) for t in title_tokens.values()) / len(title_tokens)
-        for term in dict.fromkeys(boost_terms):
-            tdf = sum(1 for toks in title_tokens.values() if term in toks)
-            if tdf == 0:
-                continue
-            for doc_id, toks in title_tokens.items():
-                ttf = toks.count(term)
-                if ttf:
-                    scores[doc_id] = scores.get(doc_id, 0.0) + title_boost * term_score(
-                        ttf, len(toks), avg_tlen, tdf, n_docs
-                    )
+        titled = {d: t for d, t in title_tokens.items() if t}
+        if titled:
+            n_tdocs = len(titled)
+            avg_tlen = sum(len(t) for t in titled.values()) / n_tdocs
+            for term in dict.fromkeys(boost_terms):
+                tdf = sum(1 for toks in titled.values() if term in toks)
+                if tdf == 0:
+                    continue
+                for doc_id, toks in titled.items():
+                    ttf = toks.count(term)
+                    if ttf:
+                        scores[doc_id] = scores.get(doc_id, 0.0) + title_boost * term_score(
+                            ttf, len(toks), avg_tlen, tdf, n_tdocs
+                        )
     ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
     return ranked[:k]

@@ -260,6 +260,38 @@ def build_fixtures(
                 {"subj": a, "pred": "co_occurs_with", "obj": b, "url": url}
             )
 
+    # --- dedicated script-coverage pages (zh / ja / mixed-script) -----------
+    # The byte-identity invariant must hold beyond latin text: a zh page with
+    # REAL fullwidth terminators (the kb/parse_text.py:17-32 zh rule), a ja
+    # page (hiragana + katakana + kanji), and a mixed-script page where CJK
+    # runs ride inside latin sentences. Appended AFTER the random pages with
+    # fixed content so the existing rng draws (and thus every other fixture
+    # value) are unchanged.
+    script_pages = [
+        ("zh", ["河流的故事很长。山谷与港口之间有一座桥梁！",
+                "寺庙的影子落在花园里。梦想照亮了道路？信号灯亮了。"]),
+        ("ja", ["カタカナとひらがなが混ざった文です。森はとても静かだ！",
+                "メモリーの信号が光る。夢のなかで橋を渡った？"]),
+        ("en", ["The market near 寺庙 was quiet today. Nobody sang.",
+                "A letter about トウキョウ arrived, and the bridge held."]),
+    ]
+    for i, (lang, paragraphs) in enumerate(script_pages):
+        url = f"https://cjk.example.org/p/{i}"
+        html = (
+            "<html><head><title>pg</title><script>var x=1;</script></head><body>"
+            + "".join(f"<p>{_escape(pp)}</p>" for pp in paragraphs)
+            + "</body></html>"
+        ).encode("utf-8")
+        fx.pages.append(
+            {
+                "url": url,
+                "warc_ts": base_ts + dt.timedelta(days=30, seconds=i),
+                "html": html,
+                "text": "\n".join(paragraphs),
+                "lang": lang,
+            }
+        )
+
     # --- simulated model predictions (BIOES), noise per model ---------------
     by_sent: dict[tuple[str, int], list[dict]] = {}
     for m in fx.gold_mentions:

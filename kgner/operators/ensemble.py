@@ -209,10 +209,17 @@ def remove_x_tokens(
     is_x = lambda t: t.contains("-") & (  # noqa: E731
         F.substring_index(t, "-", -1) == filler_type
     )
-    keep_idx = F.filter(
-        F.sequence(F.lit(0), F.size(F.col(gold_col)) - 1),
-        lambda i: ~is_x(F.get(F.col(gold_col), i)),
-    )
+    # explicit empty-gold guard: sequence(0, -1) would yield the descending
+    # [0, -1] and only drop both via F.get's out-of-range NULLs — correct,
+    # but accidental. An empty gold array keeps index [] outright; a NULL
+    # gold propagates NULL (no otherwise → when chain yields null).
+    keep_idx = F.when(
+        F.size(F.col(gold_col)) > 0,
+        F.filter(
+            F.sequence(F.lit(0), F.size(F.col(gold_col)) - 1),
+            lambda i: ~is_x(F.get(F.col(gold_col), i)),
+        ),
+    ).when(F.size(F.col(gold_col)) == 0, F.array().cast("array<int>"))
     out = df.withColumn("__keep_idx", keep_idx)
     for c in (gold_col, *cols):
         out = out.withColumn(

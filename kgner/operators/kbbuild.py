@@ -96,14 +96,21 @@ def kb_index(kb_sents: DataFrame) -> tuple[DataFrame, DataFrame]:
         "url",
         "sentence",
         "paragraph",
+        "lang",
         F.size(tokens_col(F.col("sentence"))).alias("len"),
     )
+    # `lang` rides on BOTH tables so bm25_topk(lang_col="lang") can scope the
+    # retrieval to the query's language — the DataFrame analogue of the
+    # reference's one-ES-index-per-language layout ({lang}wiki_v1,
+    # kb/build_kb.py:17-22). doc_id determines lang, so carrying it through
+    # the (term, doc_id) groupBy costs nothing.
     postings = (
         kb_sents.select(
             F.xxhash64("title", "p_id", "s_id").alias("doc_id"),
+            "lang",
             F.explode(tokens_col(F.lower(F.col("sentence")))).alias("term"),
         )
-        .groupBy("term", "doc_id")
+        .groupBy("term", "doc_id", "lang")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))
     )
     return postings, docs

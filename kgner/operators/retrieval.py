@@ -42,6 +42,7 @@ def bm25_topk(
     title_boost: float = 2.0,
     max_df_ratio: float | None = None,
     with_hits: bool = True,
+    lang_col: str | None = None,
 ) -> DataFrame:
     """-> retrievals(query_id, rank, doc_id, score, sentence, title, url,
     [paragraph,] matched_terms array<string>, highlight string) —
@@ -56,7 +57,9 @@ def bm25_topk(
     ES-exact semantics: bool.should SUMS the clause scores, and
     match(title, {boost: 2.0}) MULTIPLIES the TITLE-FIELD BM25 score — tf
     counted in the title, title length and avg title length as the field
-    norm, df = number of docs whose title contains the term. So
+    norm, df = number of docs whose title contains the term, and idf's N =
+    the count of docs WITH a non-empty title (ES/Lucene per-field
+    docCount, not the corpus size). So
     score = text_bm25 + title_boost * title_bm25(entity terms).
 
     matched_terms/highlight mirror the ES highlight hits the reference's
@@ -71,36 +74,68 @@ def bm25_topk(
     contributing ~zero score, since idf(df~N) ~ 0). This is the common-terms
     cutoff ES historically applied for the same reason. None = exact BM25
     over all terms (the oracle-checked default).
+
+    lang_col: per-language index scoping. The reference keeps ONE ES INDEX
+    PER LANGUAGE ({lang}wiki_v1 with per-language analyzers,
+    kb/build_kb.py:17-22, kb/generate_data.py:21-24) and routes each query
+    to its language's index, so df / n_docs / avg_len are all
+    LANGUAGE-LOCAL statistics and a query never matches another language's
+    docs. Pass the column name (present on queries, postings, AND docs) to
+    reproduce that; None = the reference's "mix" mode (`*wiki_v1` wildcard
+    treated as one unscoped union index with global statistics). Scoping
+    only ADDS a join key — the plan shape (one postings scan, broadcast
+    stats/df, term-keyed shuffle) is unchanged, and at 10^12 docs it
+    SHRINKS the shuffle: each query term joins only its language's
+    postings rows instead of every language's.
     """
+    langk = [lang_col] if lang_col else []
+
+    def with_stats(df: DataFrame, s: DataFrame) -> DataFrame:
+        # per-lang stats join by lang (broadcast: one row per language);
+        # unscoped stats are a single row crossJoined in
+        return df.join(F.broadcast(s), langk) if langk else df.crossJoin(
+            F.broadcast(s)
+        )
+
     # Single derivation chain: df and corpus stats both come from `postings`
     # (one scan of the index; at cluster scale postings is a bucketed table,
     # so these aggregates read it shuffle-free on the term key).
-    stats = docs.agg(
+    stats = docs.groupBy(*langk).agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
     )
-    doc_freq = postings.groupBy("term").agg(
+    doc_freq = postings.groupBy(*langk, "term").agg(
         F.count(F.lit(1)).alias("df")
     )
 
     qterms = queries.select(
-        "query_id", F.explode(F.array_distinct("tokens")).alias("term")
+        "query_id", *langk, F.explode(F.array_distinct("tokens")).alias("term")
     )
     if max_df_ratio is not None:
         # broadcast the DROP set (over-frequent terms — tiny: stopwords),
-        # never the keep set (≈ the whole vocabulary)
-        drop = doc_freq.crossJoin(F.broadcast(stats.select("n_docs"))).filter(
+        # never the keep set (≈ the whole vocabulary); when lang-scoped the
+        # cutoff is judged against the LANGUAGE's own n_docs (a term can be
+        # a stopword in en and informative in de)
+        drop = with_stats(doc_freq, stats.select(*langk, "n_docs")).filter(
             F.col("df") > F.col("n_docs") * max_df_ratio
         )
         qterms = qterms.join(
-            F.broadcast(drop.select("term")), "term", "left_anti"
+            F.broadcast(drop.select("term", *langk)), ["term", *langk], "left_anti"
         )
     # distinct terms per query: BM25 sums each matched term once per doc with
     # the doc-side tf (the ES match query sums per unique query term).
     scored = (
-        qterms.join(postings, "term")
+        qterms.join(postings, ["term", *langk])
+        .join(F.broadcast(doc_freq), ["term", *langk])
+        .join(docs.select("doc_id", "len"), "doc_id")
+        .join(F.broadcast(stats), langk)
+        if langk
+        else qterms.join(postings, "term")
         .join(F.broadcast(doc_freq), "term")
         .join(docs.select("doc_id", "len"), "doc_id")
         .crossJoin(F.broadcast(stats))
+    )
+    scored = (
+        scored
         .withColumn(
             "idf",
             F.log(
@@ -136,32 +171,50 @@ def bm25_topk(
     if boost_entities is not None:
         # TITLE-FIELD BM25 (generate_data.py:52-55): per-field statistics —
         # tf within the title, title length as the norm, df over titles.
+        # ES computes per-field stats over docs WHERE THE FIELD EXISTS
+        # (Lucene docCount / sumTotalTermFreq are field-local), so docs with
+        # a null/empty title are excluded from n_tdocs, avg_tlen, and tdf.
         # Titles are dimension-sized relative to the corpus text, so all
         # three title aggregates broadcast.
         ttoks = docs.select(
             "doc_id",
+            *langk,
             F.split(F.trim(F.lower("title")), r"\s+").alias("ttoks"),
-        )
+        ).filter(F.col("ttoks").isNotNull() & (F.col("ttoks") != F.array(F.lit(""))))
         tpostings = ttoks.select(
             "doc_id",
+            *langk,
             F.size("ttoks").alias("tlen"),
             F.explode("ttoks").alias("term"),
-        ).groupBy("doc_id", "tlen", "term").agg(F.count(F.lit(1)).alias("ttf"))
-        tstats = ttoks.agg(F.avg(F.size("ttoks")).alias("avg_tlen"))
-        tdf = tpostings.groupBy("term").agg(F.count(F.lit(1)).alias("tdf"))
+        ).groupBy("doc_id", *langk, "tlen", "term").agg(
+            F.count(F.lit(1)).alias("ttf")
+        )
+        tstats = ttoks.groupBy(*langk).agg(
+            F.avg(F.size("ttoks")).alias("avg_tlen"),
+            F.count(F.lit(1)).alias("n_tdocs"),
+        )
+        tdf = tpostings.groupBy(*langk, "term").agg(F.count(F.lit(1)).alias("tdf"))
         ent_terms = boost_entities.select(
             "query_id", F.explode(F.split(F.lower("entity"), r"\s+")).alias("term")
         ).distinct()
+        if langk:
+            # the boost clause goes to the same per-language index as the
+            # query itself — pick up each query's language
+            ent_terms = ent_terms.join(
+                F.broadcast(queries.select("query_id", *langk).distinct()),
+                "query_id",
+            )
         boosts = (
-            ent_terms.join(tpostings, "term")
-            .join(F.broadcast(tdf), "term")
-            .crossJoin(F.broadcast(stats.select("n_docs")))
-            .crossJoin(F.broadcast(tstats))
+            ent_terms.join(tpostings, ["term", *langk])
+            .join(F.broadcast(tdf), ["term", *langk])
+        )
+        boosts = (
+            with_stats(boosts, tstats)
             .withColumn(
                 "tcontrib",
                 F.log(
                     1.0
-                    + (F.col("n_docs") - F.col("tdf") + 0.5) / (F.col("tdf") + 0.5)
+                    + (F.col("n_tdocs") - F.col("tdf") + 0.5) / (F.col("tdf") + 0.5)
                 )
                 * F.col("ttf")
                 * (K1 + 1.0)

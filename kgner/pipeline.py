@@ -30,8 +30,25 @@ from kgner.lineage import LineageLog
 class PipelineConfig:
     workdir: str
     salt_buckets: int = 0  # >0: salted repartition on domain hash (skew guard)
+    # adaptive salting: when set, the extract stage measures the hottest
+    # domain's share of rows first (one url-column scan, map-side-combined
+    # to #domains rows) and salts ONLY if it exceeds this share — a
+    # balanced corpus skips the extra repartition shuffle entirely. None =
+    # salt_buckets alone decides (always-on when > 0). salt_probe_fraction
+    # bounds the probe's read at web scale (Bernoulli sample of the url
+    # column; shares are ratios, so sampling leaves them unbiased).
+    salt_threshold: float | None = None
+    salt_probe_fraction: float = 1.0
     max_text_chars: int | None = None  # giant-page cap (oracle-symmetric)
     resume: bool = True
+    # retrieval knobs (both rounds):
+    # lang_scoped=True = the reference's one-ES-index-per-language routing
+    # (df/avg_len language-local, queries never match other languages);
+    # False = the "mix" wildcard-union mode. max_df_ratio drops query terms
+    # with df > ratio*n_docs BEFORE the postings join — at web scale the
+    # stopword cutoff bounds the retrieval shuffle (retrieval.py:67).
+    retrieval_lang_scoped: bool = False
+    max_df_ratio: float | None = None
     stages: list[str] = field(
         default_factory=lambda: [
             "extracted",
@@ -94,7 +111,7 @@ class Pipeline:
 
         extract_text_udf = make_extract_text_udf(self.cfg.max_text_chars)
         pages = self.inputs["pages"]
-        if self.cfg.salt_buckets > 0:
+        if self.cfg.salt_buckets > 0 and self._should_salt(pages):
             # salted repartition on domain hash: hot domains spread over
             # salt_buckets partitions (north_rule explicit skew handling)
             domain = F.parse_url(F.col("url"), F.lit("HOST"))
@@ -110,6 +127,31 @@ class Pipeline:
         # days(warc_ts) partition transform)
         out = out.withColumn("warc_day", F.to_date("warc_ts"))
         self._write("extracted", out, partition_by=["warc_day"], inputs=("pages",))
+
+    def _should_salt(self, pages: DataFrame) -> bool:
+        """Adaptive-salt probe: salt only when the hottest domain actually
+        holds more than cfg.salt_threshold of the rows. The probe is one
+        column-pruned pass over url (map-side combine collapses to
+        #domains rows before the tiny shuffle; salt_probe_fraction
+        Bernoulli-samples that pass at web scale — the SHARE is a ratio,
+        unbiased under sampling). salt_threshold=None preserves the
+        static always-salt behavior. The decision lands in
+        self.salt_engaged so lineage consumers can see which plan ran."""
+        if self.cfg.salt_threshold is None:
+            self.salt_engaged = True
+            return True
+        probe = pages.select(F.parse_url(F.col("url"), F.lit("HOST")).alias("d"))
+        if self.cfg.salt_probe_fraction < 1.0:
+            probe = probe.sample(fraction=self.cfg.salt_probe_fraction, seed=7)
+        row = (
+            probe.groupBy("d")
+            .count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+            .first()
+        )
+        share = (row["mx"] or 0) / max(row["tot"] or 0, 1)
+        self.salt_engaged = share > self.cfg.salt_threshold
+        return self.salt_engaged
 
     def stage_sentences(self) -> None:
         if self._done("sentences"):
@@ -172,11 +214,21 @@ class Pipeline:
         kb_sents = self._read("kb_sentences")
         postings, docs = kb_index(kb_sents)
         sents = self._read("sentences")
+        lang_cols = ["lang"] if self.cfg.retrieval_lang_scoped else []
         queries = sents.select(
             F.xxhash64("url", "sent_id").alias("query_id"),
+            *lang_cols,
             F.transform("tokens", lambda t: F.lower(t)).alias("tokens"),
         )
         return queries, postings, docs
+
+    def _bm25_kwargs(self) -> dict:
+        """Retrieval knobs shared by both rounds: per-language index scoping
+        and the web-scale stopword cutoff (see PipelineConfig)."""
+        return {
+            "lang_col": "lang" if self.cfg.retrieval_lang_scoped else None,
+            "max_df_ratio": self.cfg.max_df_ratio,
+        }
 
     def stage_retrievals(self) -> None:
         """Optional retrieval + context assembly (SURVEY §3.2): sentence
@@ -189,7 +241,7 @@ class Pipeline:
 
         queries, postings, docs = self._retrieval_inputs()
         sents = self._read("sentences")
-        retr = bm25_topk(queries, postings, docs, k=10)
+        retr = bm25_topk(queries, postings, docs, k=10, **self._bm25_kwargs())
         aug = assemble_context(
             queries.join(
                 sents.select(
@@ -218,7 +270,14 @@ class Pipeline:
         ).distinct()
         self._write(
             "retrievals2",
-            bm25_topk(queries, postings, docs, k=10, boost_entities=boosts),
+            bm25_topk(
+                queries,
+                postings,
+                docs,
+                k=10,
+                boost_entities=boosts,
+                **self._bm25_kwargs(),
+            ),
             inputs=("sentences", "kb_sentences", "mentions"),
         )
 

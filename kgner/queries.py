@@ -1047,6 +1047,105 @@ WHERE rank <= 10
 """
 
 
+def q_bm25_retrieval_lang(spark, sf_dir):
+    """J-1 PER-LANGUAGE index scoping — the reference keeps one ES index per
+    language ({lang}wiki_v1 with per-language analyzers,
+    /root/reference/kb/build_kb.py:17-22, kb/generate_data.py:21-24) and
+    routes each query to its own language's index, so df / n_docs / avg_len
+    are LANGUAGE-LOCAL and a query never scores another language's docs.
+    One query per language (each lang's min doc_id). Every vocabulary term
+    of the synthetic corpus occurs in all 5 languages, so per-lang df
+    differs from global df for every scored term — running this unscoped
+    (the "mix" mode) changes every score and hash-mismatches."""
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    postings = (
+        d.select("doc_id", "lang", F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # one tokenize for lens/stats/df/join
+    )
+    lens = postings.groupBy("doc_id", "lang").agg(F.sum("tf").alias("len"))
+    stats = lens.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("len").alias("avg_len")
+    )
+    dfreq = postings.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("df"))
+    qdocs = d.groupBy("lang").agg(F.min("doc_id").alias("doc_id"))
+    queries = d.join(F.broadcast(qdocs), ["lang", "doc_id"]).select(
+        F.col("doc_id").alias("query_id"),
+        "lang",
+        F.array_distinct(F.slice(toks, 1, 6)).alias("qterms"),
+    )
+    qt = queries.select("query_id", "lang", F.explode("qterms").alias("term"))
+    from kgner.bm25 import B, K1
+
+    scored = (
+        qt.join(postings, ["term", "lang"])
+        .join(F.broadcast(dfreq), ["term", "lang"])
+        .join(F.broadcast(lens.select("doc_id", "len")), "doc_id")
+        .join(F.broadcast(stats), "lang")
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf")
+            * (K1 + 1.0)
+            / (F.col("tf") + K1 * (1.0 - B + B * F.col("len") / F.col("avg_len"))),
+        )
+        .groupBy("query_id", "lang", "doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "lang",
+            "rank",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "score",
+        )
+    )
+
+
+ORACLE_BM25_LANG = r"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), postings AS (
+  SELECT term, doc_id, lang, count(*) AS tf FROM toks GROUP BY 1, 2, 3
+), lens AS (SELECT doc_id, lang, count(*) AS len FROM toks GROUP BY 1, 2),
+stats AS (SELECT lang, count(*) AS n_docs, avg(len) AS avg_len FROM lens GROUP BY 1),
+dfreq AS (SELECT lang, term, count(*) AS df FROM postings GROUP BY 1, 2),
+qdocs AS (SELECT lang, min(doc_id) AS doc_id FROM documents GROUP BY 1),
+queries AS (
+  SELECT d.doc_id AS query_id, d.lang,
+         list_distinct(regexp_split_to_array(trim(lower(d.text)), '\s+')[1:6]) AS qterms
+  FROM documents d JOIN qdocs q ON d.doc_id = q.doc_id AND d.lang = q.lang
+), qt AS (SELECT query_id, lang, unnest(qterms) AS term FROM queries),
+scored AS (
+  SELECT qt.query_id, qt.lang, p.doc_id,
+         round(sum(ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+             * p.tf * 2.2
+             / (p.tf + 1.2 * (0.25 + 0.75 * l.len / s.avg_len))), 6) AS score
+  FROM qt
+  JOIN postings p ON qt.term = p.term AND qt.lang = p.lang
+  JOIN dfreq f ON qt.term = f.term AND qt.lang = f.lang
+  JOIN lens l ON p.doc_id = l.doc_id
+  JOIN stats s ON qt.lang = s.lang
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, lang, CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+"""
+
+
 def _gaz_bio_tags(toks):
     gaz = F.array(*[F.lit(g) for g in GAZ])
     return F.transform(
@@ -2405,6 +2504,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_spans": q_entity_spans,
     "mention_cooccur": q_mention_cooccur,
     "bm25_retrieval": q_bm25_retrieval,
+    "bm25_retrieval_lang": q_bm25_retrieval_lang,
     "bm25_entity_boost": q_bm25_entity_boost,
     "bioes_tags": q_bioes_tags,
     "span_f1": q_span_f1,
@@ -2459,6 +2559,7 @@ ORACLES: dict[str, str] = {
     "entity_spans": ORACLE_ENTITY_SPANS,
     "mention_cooccur": ORACLE_MENTION_COOCCUR,
     "bm25_retrieval": ORACLE_BM25,
+    "bm25_retrieval_lang": ORACLE_BM25_LANG,
     "bm25_entity_boost": ORACLE_BM25_BOOST,
     "bioes_tags": ORACLE_BIOES,
     "span_f1": ORACLE_SPAN_F1,

@@ -7,10 +7,10 @@ from kgner.fixtures import build_fixtures, to_spark
 from kgner.pipeline import Pipeline, PipelineConfig
 
 
-def _mk(spark, tmp, resume=True, salt=0):
+def _mk(spark, tmp, resume=True, salt=0, **cfg_kw):
     fx = build_fixtures(n_entities=15, n_pages=25, giant_pages=0)
     t = to_spark(spark, fx)
-    cfg = PipelineConfig(workdir=tmp, resume=resume, salt_buckets=salt)
+    cfg = PipelineConfig(workdir=tmp, resume=resume, salt_buckets=salt, **cfg_kw)
     return Pipeline(spark, cfg, t["pages"], t["kb_pages"], t["redirects"]), fx
 
 
@@ -79,12 +79,32 @@ def test_pipeline_ensemble_stage(spark, tmp_path):
 
 
 def test_pipeline_salted_same_output(spark, tmp_path):
-    """Salted repartition (skew guard) must not change results."""
+    """Salted repartition (skew guard) must not change results — whether
+    engaged statically or via the adaptive skew probe."""
     a, _ = _mk(spark, str(tmp_path / "a"), salt=0)
     b, _ = _mk(spark, str(tmp_path / "b"), salt=8)
+    # adaptive: ~30% of fixture pages sit on hot.example.com, so a 5%
+    # threshold engages the salt and a 90% threshold skips it
+    c, _ = _mk(spark, str(tmp_path / "c"), salt=8, salt_threshold=0.05)
+    d, _ = _mk(spark, str(tmp_path / "d"), salt=8, salt_threshold=0.90)
     ta = {(r["subj"], r["pred"], r["obj"]) for r in a.run().collect()}
     tb = {(r["subj"], r["pred"], r["obj"]) for r in b.run().collect()}
-    assert ta == tb
+    tc = {(r["subj"], r["pred"], r["obj"]) for r in c.run().collect()}
+    td = {(r["subj"], r["pred"], r["obj"]) for r in d.run().collect()}
+    assert ta == tb == tc == td
+    assert c.salt_engaged is True
+    assert d.salt_engaged is False
+
+
+def test_adaptive_salt_probe_sampled(spark, tmp_path):
+    """The probe's Bernoulli sample leaves the share ratio unbiased — a
+    sampled probe reaches the same decision on the hot-domain fixture."""
+    p, _ = _mk(
+        spark, str(tmp_path / "s"), salt=8,
+        salt_threshold=0.05, salt_probe_fraction=0.5,
+    )
+    pages = p.inputs["pages"]
+    assert p._should_salt(pages) is True
 
 
 def test_pipeline_ensemble_strips_augmented_predictions(spark, tmp_path):

@@ -12,13 +12,58 @@ from kgner.operators.triples import all_triples
 from kgner.oracle.pipeline import oracle_triples
 
 
-def test_extraction_byte_identical(spark, tables):
-    """North-rule invariant: extract_text(html) == text for every url."""
+def test_extraction_byte_identical(spark, tables, fx):
+    """North-rule invariant: extract_text(html) == text for every url —
+    including the dedicated zh / ja / mixed-script pages (≥3 scripts:
+    han, hiragana/katakana, latin)."""
+    import unicodedata
+
     pages = tables["pages"]
     bad = pages.filter(
         extract_text_udf(F.col("html")) != F.col("text")
     ).count()
     assert bad == 0
+    # the fixture set really covers the scripts (guards against the
+    # coverage silently shrinking to latin-only)
+    scripts = set()
+    for pg in fx.pages:
+        for ch in pg["text"]:
+            if ch.isalpha():
+                name = unicodedata.name(ch, "")
+                if name.startswith("CJK UNIFIED"):
+                    scripts.add("han")
+                elif "HIRAGANA" in name or "KATAKANA" in name:
+                    scripts.add("kana")
+                elif "LATIN" in name:
+                    scripts.add("latin")
+    assert {"han", "kana", "latin"} <= scripts
+
+
+def test_cjk_sentence_split_dispatch_parity(spark, tables, fx):
+    """Lang-aware split dispatch (kb/parse_text.py:17-32) on the REAL CJK
+    fixture pages: Spark's with_sentences must reproduce the single-node
+    split for the zh, ja, and mixed-script pages, fullwidth terminators
+    and all."""
+    from kgner.textops import split_sentences
+
+    sents = with_sentences(tables["pages"])
+    cjk = [p for p in fx.pages if p["url"].startswith("https://cjk.example.org/")]
+    assert len(cjk) == 3
+    for page in cjk:
+        want = [
+            s
+            for para in page["text"].split("\n")
+            for s in split_sentences(para, page["lang"])
+        ]
+        got = [
+            r["sentence"]
+            for r in sents.filter(F.col("url") == page["url"])
+            .orderBy("sent_id")
+            .select("sentence")
+            .collect()
+        ]
+        assert got == want, page["url"]
+        assert len(got) >= 3, page["url"]  # the terminators actually split
 
 
 def test_sentences_deterministic_ids(spark, tables, fx):

@@ -45,6 +45,15 @@ def main():
     from kgner.queries import ORACLES, QUERIES
     from kgner.session import get_spark
 
+    # contract-shape self-check: every query must carry an oracle, and the
+    # counts are printed so a driver run that silently drops an entry (the
+    # r3 CORRECTNESS file had 50 rows for a 51-query contract) is visible.
+    missing_oracle = sorted(set(QUERIES) - set(ORACLES))
+    stray_oracle = sorted(set(ORACLES) - set(QUERIES))
+    assert not missing_oracle, f"queries without oracle_sql: {missing_oracle}"
+    assert not stray_oracle, f"oracles without a query: {stray_oracle}"
+    print(f"contract: {len(QUERIES)} queries / {len(ORACLES)} oracles")
+
     spark = get_spark("contract-check", master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -106,7 +115,7 @@ def main():
     if failures:
         print(f"{len(failures)} FAILURES:", [f[0] for f in failures])
         sys.exit(1)
-    print("ALL MATCH")
+    print(f"ALL MATCH ({len(QUERIES)}/{len(ORACLES)} queries/oracles in contract)")
 
 
 if __name__ == "__main__":
