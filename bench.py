@@ -3,11 +3,18 @@
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Extras folded into the same line:
-- "query_variants": which variant each headline number measures — two
-  queries run their PRODUCTION form in the headline (xxhash64 minhash,
-  score-only bm25) with the oracle-checkable contract forms timed
+- "query_variants": which variant each headline number measures — three
+  queries run their PRODUCTION form in the headline (xxhash64 minhash and
+  simhash, score-only bm25) with the oracle-checkable contract forms timed
   alongside under "contract_variants_sec" (the md5-affine signatures and
-  hit-highlight columns exist for DuckDB replay, not for production);
+  hit-highlight columns exist for DuckDB replay, not for production).
+  NOTE: contract and production forms are DIFFERENT topologies (the bm25
+  contract query derives lens from postings and skips the display-column
+  join), so they are not a less-work-is-faster pair; the
+  "bm25_operator_pair_sec" field IS such a pair — the same operator on the
+  same inputs with_hits=True vs False;
+- "query_samples_sec": all 3 raw samples behind each median, so
+  run-to-run spread (single-JVM noise) stays visible per query;
 - "triples_per_sec": throughput of the KG pipeline (fixture pages -> triples)
   — the BASELINE.json headline metric;
 - "contextual_pipeline_sec": assemble_context -> tag -> strip -> vote e2e;
@@ -130,7 +137,10 @@ def _clear_persisted(spark) -> None:
 
 def run_queries(
     spark, sf_dir: str
-) -> tuple[dict[str, float], dict[str, str], dict[str, float]]:
+) -> tuple[
+    dict[str, float], dict[str, str], dict[str, float], dict[str, float],
+    dict[str, list[float]],
+]:
     from pyspark.sql import functions as F
 
     from kgner.queries import QUERIES
@@ -147,33 +157,62 @@ def run_queries(
         )
     )
 
-    def timed(fn) -> float:
+    all_samples: dict[str, list[float]] = {}
+
+    def timed(fn, key: str) -> float:
         # median-of-3 for EVERY query: single-JVM disk/GC noise inflates one
         # sample 3-5x and a single cold sample once inverted a paired
         # production-vs-contract comparison (r3: score-only bm25 "slower"
-        # than the superset it subsumes). A min would be one-sidedly biased
-        # by cache-warm re-runs; the median keeps one cold and one hot
-        # outlier from steering the number.
+        # than the with-hits form). A min would be one-sidedly biased by
+        # cache-warm re-runs; the median keeps one cold and one hot outlier
+        # from steering the number. Raw samples are emitted
+        # (query_samples_sec) so run-to-run spread stays visible.
         samples = []
         for _ in range(3):
             _clear_persisted(spark)
             t0 = time.monotonic()
             _materialize(fn(spark, sf_dir))
-            samples.append(time.monotonic() - t0)
-        return round(sorted(samples)[1], 3)
+            samples.append(round(time.monotonic() - t0, 3))
+        all_samples[key] = samples
+        return sorted(samples)[1]
 
     out: dict[str, float] = {}
     variants: dict[str, str] = {}
     contract: dict[str, float] = {}
     for name in HEADLINE:
         fn, label = PROD_VARIANTS.get(name, (QUERIES[name], "contract"))
-        out[name] = timed(fn)
+        out[name] = timed(fn, name)
         variants[name] = label
         if name in PROD_VARIANTS:
             # time the oracle-checkable contract variant alongside, so the
             # oracle tax stays visible without charging the headline
-            contract[name] = timed(QUERIES[name])
-    return out, variants, contract
+            contract[name] = timed(QUERIES[name], f"{name}:contract")
+    # apples-to-apples hits pair: the SAME operator on the SAME inputs with
+    # and without the ES-highlight columns. (The contract query q_bm25_*
+    # is a third topology — it derives lens from postings and never joins
+    # the display columns — so prod-vs-contract alone cannot support a
+    # "score-only must be faster" claim; this pair can.)
+    from kgner.operators.retrieval import bm25_topk
+    from kgner.queries import bm25_contract_inputs
+
+    def _hits(on: bool):
+        def run(spark, sf_dir):
+            queries, postings, docs = bm25_contract_inputs(spark, sf_dir)
+            return bm25_topk(
+                queries.select("query_id", F.col("qterms").alias("tokens")),
+                postings,
+                docs,
+                k=10,
+                with_hits=on,
+            )
+
+        return run
+
+    hits_pair = {
+        "with_hits": timed(_hits(True), "bm25_operator:with_hits"),
+        "score_only": timed(_hits(False), "bm25_operator:score_only"),
+    }
+    return out, variants, contract, hits_pair, all_samples
 
 
 def run_kg_pipeline(spark, n_pages: int = 1200) -> tuple[float, int]:
@@ -203,11 +242,13 @@ def run_kg_pipeline(spark, n_pages: int = 1200) -> tuple[float, int]:
 
     job().count()  # warm-up run (worker fork + codegen)
     times, n = [], 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         n = job().count()
         times.append(time.monotonic() - t0)
     pages.unpersist()
+    # min-of-3: the DAG is fixed, so the floor is the engine cost and the
+    # spread above it is single-JVM GC/IO noise
     return min(times), n
 
 
@@ -368,10 +409,15 @@ def run_skew_workload(spark, inflate: int = 48, n_pages: int = 400) -> dict:
         "salted_sec": lambda: pages.repartition(n_parts, F.xxhash64(dom), salt),
     }
     n = 0
-    for label, mk in variants.items():
-        t0 = time.monotonic()
-        n = job(mk()).count()
-        out[label] = round(time.monotonic() - t0, 3)
+    # two alternating passes per variant, min of each: the ratio compares
+    # partition SHAPES, so each side gets its noise floor rather than one
+    # cold sample steering the speedup
+    for _ in range(2):
+        for label, mk in variants.items():
+            t0 = time.monotonic()
+            n = job(mk()).count()
+            sec = round(time.monotonic() - t0, 3)
+            out[label] = min(out.get(label, sec), sec)
     pages.unpersist()
     out["n_mentions"] = n
     out["speedup"] = round(out["unsalted_sec"] / out["salted_sec"], 2)
@@ -385,7 +431,7 @@ def run_contextual_pipeline(spark, sf_dir: str) -> float:
     from kgner.queries import q_contextual_spans
 
     times = []
-    for _ in range(2):
+    for _ in range(3):
         _clear_persisted(spark)
         t0 = time.monotonic()
         _materialize(q_contextual_spans(spark, sf_dir))
@@ -398,7 +444,7 @@ def one_session(master: str, shuffle_partitions: int, sf_dir: str, kg: bool):
 
     spark = get_spark("kgner-bench", master=master, shuffle_partitions=shuffle_partitions)
     spark.sparkContext.setLogLevel("ERROR")
-    queries, variants, contract = run_queries(spark, sf_dir)
+    queries, variants, contract, hits_pair, samples = run_queries(spark, sf_dir)
     total = round(sum(queries.values()), 3)  # sum of reported per-query times
     kg_sec = kg_triples = skew = ctx_sec = None
     if kg:
@@ -406,7 +452,8 @@ def one_session(master: str, shuffle_partitions: int, sf_dir: str, kg: bool):
         ctx_sec = run_contextual_pipeline(spark, sf_dir)
         skew = run_skew_workload(spark)
     spark.stop()
-    return total, queries, variants, contract, kg_sec, kg_triples, ctx_sec, skew
+    return (total, queries, variants, contract, hits_pair, samples,
+            kg_sec, kg_triples, ctx_sec, skew)
 
 
 def scale_run(master: str, parts: int) -> None:
@@ -443,7 +490,8 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    total, queries, variants, contract, kg_sec, kg_triples, ctx_sec, skew = one_session(
+    (total, queries, variants, contract, hits_pair, samples,
+     kg_sec, kg_triples, ctx_sec, skew) = one_session(
         f"local[{cpus}]", 32, sf_dir, kg=True
     )
     result = {
@@ -453,6 +501,8 @@ def main() -> None:
         "queries": queries,
         "query_variants": variants,
         "contract_variants_sec": contract,
+        "bm25_operator_pair_sec": hits_pair,
+        "query_samples_sec": samples,
         "sf": float(sf),
         "kg_pipeline_sec": round(kg_sec, 3),
         "kg_triples": kg_triples,
