@@ -23,10 +23,15 @@ def iterative_retrieval(
     aliases: DataFrame,
     k: int = 10,
     title_boost: float = 2.0,
+    lang_col: str | None = None,
+    max_df_ratio: float | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Two-round retrieval.
 
     queries: (query_id, tokens array<string>) — lowercased.
+    lang_col / max_df_ratio pass through to both bm25_topk rounds (the
+    reference routes BOTH stages to the same per-language index, and the
+    stopword cutoff applies to re-retrieval exactly as to round 1).
     Returns (round1_retrievals, boost_entities, round2_retrievals):
     round 1 is plain BM25; mentions detected in the QUERY text against the
     alias table become per-query boost entities; round 2 re-retrieves with
@@ -35,7 +40,8 @@ def iterative_retrieval(
     from kgner.operators.mentions import detect_mentions
     from kgner.operators.retrieval import bm25_topk
 
-    r1 = bm25_topk(queries, postings, docs, k=k)
+    kw = {"lang_col": lang_col, "max_df_ratio": max_df_ratio}
+    r1 = bm25_topk(queries, postings, docs, k=k, **kw)
 
     qsents = queries.select(
         F.col("query_id").cast("string").alias("url"),
@@ -49,6 +55,7 @@ def iterative_retrieval(
     ).distinct()
 
     r2 = bm25_topk(
-        queries, postings, docs, k=k, boost_entities=boost, title_boost=title_boost
+        queries, postings, docs, k=k, boost_entities=boost,
+        title_boost=title_boost, **kw
     )
     return r1, boost, r2

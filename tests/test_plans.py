@@ -36,6 +36,18 @@ def test_bm25_no_sort_merge_join(spark):
     assert plan.count("BroadcastHashJoin") >= 2
 
 
+def test_bm25_lang_scoped_same_plan_shape(spark):
+    """Per-language scoping only ADDS a join key: still no sort-merge join,
+    still broadcast df/stats, no Python — the per-lang statistics joins
+    (one row per language) must broadcast like the global ones."""
+    from kgner.queries import QUERIES
+
+    plan = _plan(QUERIES["bm25_retrieval_lang"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Python" not in plan
+
+
 def test_jvm_only_operators_have_no_python(spark):
     from kgner.queries import QUERIES
 
