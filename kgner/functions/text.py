@@ -109,6 +109,22 @@ def tokens_col(sentence: Column) -> Column:
     return F.split(F.trim(sentence), r"\s+")
 
 
+# languages whose reference ES index uses a CJK analyzer rather than the
+# whitespace/standard one (kb/build_kb.py:17-22 configures ik_max_word /
+# ik_smart for zh; ja/ko get the same char-level treatment here)
+CJK_ANALYZER_LANGS = ("zh", "ja", "ko")
+
+
+def tokens_col_cjk(sentence: Column) -> Column:
+    """CJK analyzer, JVM-side: han chars become char-level units, other
+    non-space runs whitespace tokens — the exact token stream of
+    kgner.textops.split_keyword_cjk (spliteKeyWord,
+    kb/context_process.py:105-140), which is the repo's stand-in for the
+    reference's zh ES index analyzer (ik_max_word, kb/build_kb.py:17-22).
+    Pure regexp_extract_all: no empty tokens, no Python."""
+    return F.regexp_extract_all(sentence, F.lit(r"[一-鿿]|[^一-鿿\s]+"), 0)
+
+
 def subtoken_len_col(sentence: Column) -> Column:
     """JVM-side subtoken-count proxy (matches kgner.textops.subtoken_len)."""
     return F.size(F.regexp_extract_all(sentence, F.lit(BPE_ISH_PATTERN), 0))

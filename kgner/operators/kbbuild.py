@@ -80,7 +80,9 @@ def kb_sentences(kb_pages: DataFrame) -> DataFrame:
     )
 
 
-def kb_index(kb_sents: DataFrame) -> tuple[DataFrame, DataFrame]:
+def kb_index(
+    kb_sents: DataFrame, per_lang_analyzer: bool = False
+) -> tuple[DataFrame, DataFrame]:
     """kb_sentences -> (postings(term, doc_id, tf), docs(doc_id, len, title,
     url, sentence, paragraph)).
 
@@ -89,7 +91,27 @@ def kb_index(kb_sents: DataFrame) -> tuple[DataFrame, DataFrame]:
     everything is a non-starter). `paragraph` rides along so retrieval rows
     can carry the reference's paragraph field
     (kb/generate_data.py:65: hit tuple includes _source.paragraph).
+
+    per_lang_analyzer=True mirrors the reference's per-language index
+    ANALYZERS, not just its per-language routing: zh/ja/ko docs are
+    tokenized with the CJK analyzer (han chars char-level — the
+    spliteKeyWord semantics standing in for ik_max_word,
+    kb/build_kb.py:17-22) while other languages keep whitespace tokens.
+    Query tokens must be produced with the matching analyzer
+    (tokens_col_cjk / split_keyword_cjk for CJK-language queries) — in ES
+    the index analyzer does this server-side; here the token stream IS the
+    contract. Map-only branch on lang: no extra scan, no shuffle change.
     """
+    if per_lang_analyzer:
+        from kgner.functions.text import CJK_ANALYZER_LANGS, tokens_col_cjk
+
+        def tok(col):
+            return F.when(
+                F.col("lang").isin(*CJK_ANALYZER_LANGS), tokens_col_cjk(col)
+            ).otherwise(tokens_col(col))
+
+    else:
+        tok = tokens_col
     docs = kb_sents.select(
         F.xxhash64("title", "p_id", "s_id").alias("doc_id"),
         "title",
@@ -97,7 +119,7 @@ def kb_index(kb_sents: DataFrame) -> tuple[DataFrame, DataFrame]:
         "sentence",
         "paragraph",
         "lang",
-        F.size(tokens_col(F.col("sentence"))).alias("len"),
+        F.size(tok(F.col("sentence"))).alias("len"),
     )
     # `lang` rides on BOTH tables so bm25_topk(lang_col="lang") can scope the
     # retrieval to the query's language — the DataFrame analogue of the
@@ -108,7 +130,7 @@ def kb_index(kb_sents: DataFrame) -> tuple[DataFrame, DataFrame]:
         kb_sents.select(
             F.xxhash64("title", "p_id", "s_id").alias("doc_id"),
             "lang",
-            F.explode(tokens_col(F.lower(F.col("sentence")))).alias("term"),
+            F.explode(tok(F.lower(F.col("sentence")))).alias("term"),
         )
         .groupBy("term", "doc_id", "lang")
         .agg(F.count(F.lit(1)).cast("int").alias("tf"))

@@ -49,6 +49,11 @@ class PipelineConfig:
     # stopword cutoff bounds the retrieval shuffle (retrieval.py:67).
     retrieval_lang_scoped: bool = False
     max_df_ratio: float | None = None
+    # per-language index ANALYZERS (not just routing): zh/ja/ko KB docs and
+    # queries tokenize char-level for han runs (the spliteKeyWord / ik
+    # stand-in, kb/build_kb.py:17-22) so the query token stream matches the
+    # index's, as the ES analyzer guarantees server-side
+    per_lang_analyzer: bool = False
     stages: list[str] = field(
         default_factory=lambda: [
             "extracted",
@@ -212,13 +217,27 @@ class Pipeline:
         from kgner.operators.kbbuild import kb_index
 
         kb_sents = self._read("kb_sentences")
-        postings, docs = kb_index(kb_sents)
+        postings, docs = kb_index(
+            kb_sents, per_lang_analyzer=self.cfg.per_lang_analyzer
+        )
         sents = self._read("sentences")
         lang_cols = ["lang"] if self.cfg.retrieval_lang_scoped else []
+        if self.cfg.per_lang_analyzer:
+            # query tokens must come from the SAME analyzer as the index —
+            # ES applies the index analyzer to the query server-side; here
+            # the token stream is the contract
+            from kgner.functions.text import CJK_ANALYZER_LANGS, tokens_col_cjk
+
+            qtok = F.when(
+                F.col("lang").isin(*CJK_ANALYZER_LANGS),
+                tokens_col_cjk(F.col("sentence")),
+            ).otherwise(F.col("tokens"))
+        else:
+            qtok = F.col("tokens")
         queries = sents.select(
             F.xxhash64("url", "sent_id").alias("query_id"),
             *lang_cols,
-            F.transform("tokens", lambda t: F.lower(t)).alias("tokens"),
+            F.transform(qtok, lambda t: F.lower(t)).alias("tokens"),
         )
         return queries, postings, docs
 

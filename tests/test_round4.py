@@ -220,6 +220,7 @@ def test_pipeline_retrieval_knobs(spark, tmp_path):
         ],
         retrieval_lang_scoped=True,
         max_df_ratio=0.95,
+        per_lang_analyzer=True,
     )
     pipe = Pipeline(spark, cfg, t["pages"], t["kb_pages"], t["redirects"])
     pipe.run()
@@ -231,3 +232,36 @@ def test_pipeline_retrieval_knobs(spark, tmp_path):
     # fixture pages, so scoping must leave SOME queries context-free while
     # en ones still retrieve
     assert any(len(r["contexts"]) > 0 for r in rows)
+
+
+def test_kb_index_per_lang_analyzer(spark):
+    """per_lang_analyzer=True tokenizes zh docs with the CJK analyzer (han
+    chars char-level, the spliteKeyWord / ik stand-in) and leaves en docs
+    whitespace-tokenized; the JVM token stream matches
+    kgner.textops.split_keyword_cjk exactly."""
+    from kgner.operators.kbbuild import kb_index
+    from kgner.textops import split_keyword_cjk
+
+    kb_sents = spark.createDataFrame(
+        [
+            ("P1", 0, 0, "巴黎是城市 Paris", "p", "u1", "zh"),
+            ("P2", 0, 0, "paris is a city", "p", "u2", "en"),
+        ],
+        "title string, p_id int, s_id int, sentence string, "
+        "paragraph string, url string, lang string",
+    )
+    postings, docs = kb_index(kb_sents, per_lang_analyzer=True)
+    rows = postings.collect()
+    zh_terms = {r.term for r in rows if r.lang == "zh"}
+    en_terms = {r.term for r in rows if r.lang == "en"}
+    assert zh_terms == set(
+        t.lower() for t in split_keyword_cjk("巴黎是城市 Paris")
+    )  # {巴, 黎, 是, 城, 市, paris}
+    assert "巴黎是城市" not in zh_terms  # char-level, not run-level
+    assert en_terms == {"paris", "is", "a", "city"}
+    lens = {r.lang: r.len for r in docs.collect()}
+    assert lens["zh"] == 6 and lens["en"] == 4
+    # default analyzer unchanged: whitespace runs stay whole
+    p2, _ = kb_index(kb_sents)
+    zh_default = {r.term for r in p2.collect() if r.lang == "zh"}
+    assert "巴黎是城市" in zh_default
