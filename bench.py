@@ -82,24 +82,32 @@ def prod_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(doubled, num_hashes=16, bands=4, threshold=0.999)
 
 
-def prod_bm25_retrieval(spark, sf_dir):
+def bm25_operator_workload(with_hits: bool):
     """The EXACT q_bm25_retrieval workload (shared bm25_contract_inputs —
     same corpus, postings, and query set by construction) through the
-    production operator with with_hits=False: same join topology and scores,
-    no collect_set(term) / highlight rebuild."""
-    from pyspark.sql import functions as F
+    production operator. ONE definition serves both the headline production
+    variant (with_hits=False) and the with/without-hits operator pair, so
+    the 'same operator on the same inputs' claim cannot drift."""
 
-    from kgner.operators.retrieval import bm25_topk
-    from kgner.queries import bm25_contract_inputs
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
 
-    queries, postings, docs = bm25_contract_inputs(spark, sf_dir)
-    return bm25_topk(
-        queries.select("query_id", F.col("qterms").alias("tokens")),
-        postings,
-        docs,
-        k=10,
-        with_hits=False,
-    )
+        from kgner.operators.retrieval import bm25_topk
+        from kgner.queries import bm25_contract_inputs
+
+        queries, postings, docs = bm25_contract_inputs(spark, sf_dir)
+        return bm25_topk(
+            queries.select("query_id", F.col("qterms").alias("tokens")),
+            postings,
+            docs,
+            k=10,
+            with_hits=with_hits,
+        )
+
+    return run
+
+
+prod_bm25_retrieval = bm25_operator_workload(False)
 
 
 def prod_simhash_dups(spark, sf_dir):
@@ -196,26 +204,17 @@ def run_queries(
     # and without the ES-highlight columns. (The contract query q_bm25_*
     # is a third topology — it derives lens from postings and never joins
     # the display columns — so prod-vs-contract alone cannot support a
-    # "score-only must be faster" claim; this pair can.)
-    from kgner.operators.retrieval import bm25_topk
-    from kgner.queries import bm25_contract_inputs
-
-    def _hits(on: bool):
-        def run(spark, sf_dir):
-            queries, postings, docs = bm25_contract_inputs(spark, sf_dir)
-            return bm25_topk(
-                queries.select("query_id", F.col("qterms").alias("tokens")),
-                postings,
-                docs,
-                k=10,
-                with_hits=on,
-            )
-
-        return run
-
+    # "score-only must be faster" claim; this pair can.) Both sides share
+    # ONE workload definition (bm25_operator_workload) so they cannot
+    # drift, and both are timed fresh BACK-TO-BACK — the score-only side
+    # deliberately is NOT the headline's earlier samples, which ran minutes
+    # before in a colder session state and would re-open the time-separated
+    # comparison this pair exists to close.
     hits_pair = {
-        "with_hits": timed(_hits(True), "bm25_operator:with_hits"),
-        "score_only": timed(_hits(False), "bm25_operator:score_only"),
+        "with_hits": timed(bm25_operator_workload(True), "bm25_operator:with_hits"),
+        "score_only": timed(
+            bm25_operator_workload(False), "bm25_operator:score_only"
+        ),
     }
     return out, variants, contract, hits_pair, all_samples
 
@@ -501,7 +500,6 @@ def main() -> None:
         # NOW instead of after ~5 min of saturating Spark work — useful for
         # catching calibration-quiet windows; the shipped aggregation is
         # identical to the full run's
-        os.environ["KGNER_SCALING"] = "1"
         result: dict = {"metric": "scaling_only", "sf": float(sf)}
         _append_scaling(result)
         print(json.dumps(result))
@@ -535,69 +533,68 @@ def main() -> None:
 
 
 def _append_scaling(result: dict) -> None:
-    if True:
-        # N-vs-4N stand-in: each level runs in its own subprocess PINNED to
-        # a CPU set with taskset, so Python UDF workers can't silently use
-        # more cores than the "cluster size" grants (local[8] with unpinned
-        # workers actually consumes ~32 cores through the chained UDF
-        # pipeline — pinning makes the 8-core baseline honest).
-        import subprocess
+    # N-vs-4N stand-in: each level runs in its own subprocess PINNED to
+    # a CPU set with taskset, so Python UDF workers can't silently use
+    # more cores than the "cluster size" grants (local[8] with unpinned
+    # workers actually consumes ~32 cores through the chained UDF
+    # pipeline — pinning makes the 8-core baseline honest).
+    import subprocess
 
-        # N=4 vs 4N=16 cores: 16 of the machine's 32 leaves OS/daemon headroom
-        # so the measurement isn't polluted by the host's own turbo/steal
-        # behavior at full saturation (raw-python calibration shows ~25%
-        # per-core clock loss at 32-busy — a host artifact, not a Spark one).
-        # Interleave the levels over 3 rounds (host noise drifts over
-        # minutes; interleaving puts both levels under the same conditions),
-        # then take per-level medians.
-        levels = (("n4", "0-3", "local[4]", 8), ("n16", "0-15", "local[16]", 32))
-        samples: dict[str, list[dict]] = {"n4": [], "n16": []}
-        for _ in range(3):
-            for label, cores, master, parts in levels:
-                cmd = [
-                    "taskset", "-c", cores, sys.executable,
-                    os.path.abspath(__file__), "--scale-run", master, str(parts),
-                ]
-                out = subprocess.run(
-                    cmd, capture_output=True, text=True, timeout=900,
-                    env={**os.environ, "KGNER_DRIVER_MEM": "24g"},
-                )
-                samples[label].append(json.loads(out.stdout.strip().splitlines()[-1]))
-        res = {}
-        for label in samples:
-            runs = sorted(samples[label], key=lambda r: r["sec"])
-            res[label] = {**runs[len(runs) // 2], "all_sec": [r["sec"] for r in samples[label]]}
-        # efficiency and clock factor are paired PER INTERLEAVED ROUND (the
-        # two levels of a round ran back-to-back under the same host
-        # conditions) and the medians taken over pairs — pairing the
-        # independently-chosen median runs could divide calibrations from
-        # different host windows and mis-state the 16-vs-4 saturation
-        # effect. A real 4N cluster runs 4N machines at the SAME clock, so
-        # the adjusted number scales each pair by its own measured per-core
-        # slowdown ratio.
-        pairs = []
-        for a, b in zip(samples["n4"], samples["n16"]):
-            eff = (a["sec"] / b["sec"]) / 4
-            clock = b["calib_core_sec"] / a["calib_core_sec"]
-            pairs.append(
-                {
-                    "eff_raw": round(eff, 3),
-                    "host_clock_factor_16v4": round(clock, 3),
-                    "eff_clock_adjusted": round(eff * clock, 3),
-                }
+    # N=4 vs 4N=16 cores: 16 of the machine's 32 leaves OS/daemon headroom
+    # so the measurement isn't polluted by the host's own turbo/steal
+    # behavior at full saturation (raw-python calibration shows ~25%
+    # per-core clock loss at 32-busy — a host artifact, not a Spark one).
+    # Interleave the levels over 3 rounds (host noise drifts over
+    # minutes; interleaving puts both levels under the same conditions),
+    # then take per-level medians.
+    levels = (("n4", "0-3", "local[4]", 8), ("n16", "0-15", "local[16]", 32))
+    samples: dict[str, list[dict]] = {"n4": [], "n16": []}
+    for _ in range(3):
+        for label, cores, master, parts in levels:
+            cmd = [
+                "taskset", "-c", cores, sys.executable,
+                os.path.abspath(__file__), "--scale-run", master, str(parts),
+            ]
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=900,
+                env={**os.environ, "KGNER_DRIVER_MEM": "24g"},
             )
-        med = lambda k: sorted(p[k] for p in pairs)[len(pairs) // 2]  # noqa: E731
-        result["scaling"] = {
-            **res,
-            "pairs": pairs,
-            "efficiency_raw": med("eff_raw"),
-            # UPPER-BOUND estimate: the clock factor comes from a pure-Python
-            # busy loop, but the Spark job mixes JVM/shuffle/IO that may not
-            # degrade with core clock 1:1 — quote eff_raw as the measured
-            # floor and eff_clock_adjusted as the same-clock-cluster bound.
-            "efficiency_clock_adjusted": med("eff_clock_adjusted"),
-            "adjusted_is_upper_bound": True,
-        }
+            samples[label].append(json.loads(out.stdout.strip().splitlines()[-1]))
+    res = {}
+    for label in samples:
+        runs = sorted(samples[label], key=lambda r: r["sec"])
+        res[label] = {**runs[len(runs) // 2], "all_sec": [r["sec"] for r in samples[label]]}
+    # efficiency and clock factor are paired PER INTERLEAVED ROUND (the
+    # two levels of a round ran back-to-back under the same host
+    # conditions) and the medians taken over pairs — pairing the
+    # independently-chosen median runs could divide calibrations from
+    # different host windows and mis-state the 16-vs-4 saturation
+    # effect. A real 4N cluster runs 4N machines at the SAME clock, so
+    # the adjusted number scales each pair by its own measured per-core
+    # slowdown ratio.
+    pairs = []
+    for a, b in zip(samples["n4"], samples["n16"]):
+        eff = (a["sec"] / b["sec"]) / 4
+        clock = b["calib_core_sec"] / a["calib_core_sec"]
+        pairs.append(
+            {
+                "eff_raw": round(eff, 3),
+                "host_clock_factor_16v4": round(clock, 3),
+                "eff_clock_adjusted": round(eff * clock, 3),
+            }
+        )
+    med = lambda k: sorted(p[k] for p in pairs)[len(pairs) // 2]  # noqa: E731
+    result["scaling"] = {
+        **res,
+        "pairs": pairs,
+        "efficiency_raw": med("eff_raw"),
+        # UPPER-BOUND estimate: the clock factor comes from a pure-Python
+        # busy loop, but the Spark job mixes JVM/shuffle/IO that may not
+        # degrade with core clock 1:1 — quote eff_raw as the measured
+        # floor and eff_clock_adjusted as the same-clock-cluster bound.
+        "efficiency_clock_adjusted": med("eff_clock_adjusted"),
+        "adjusted_is_upper_bound": True,
+    }
 
 
 if __name__ == "__main__":

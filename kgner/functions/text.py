@@ -121,8 +121,12 @@ def tokens_col_cjk(sentence: Column) -> Column:
     kgner.textops.split_keyword_cjk (spliteKeyWord,
     kb/context_process.py:105-140), which is the repo's stand-in for the
     reference's zh ES index analyzer (ik_max_word, kb/build_kb.py:17-22).
-    Pure regexp_extract_all: no empty tokens, no Python."""
-    return F.regexp_extract_all(sentence, F.lit(r"[一-鿿]|[^一-鿿\s]+"), 0)
+    Pure regexp_extract_all: no empty tokens, no Python.
+
+    (?U) makes Java's \\s Unicode-aware to match Python's — without it,
+    U+3000 ideographic space (ubiquitous in CJK text) counts as a token
+    character on the JVM side and the two analyzers diverge."""
+    return F.regexp_extract_all(sentence, F.lit(r"(?U)[一-鿿]|[^一-鿿\s]+"), 0)
 
 
 def subtoken_len_col(sentence: Column) -> Column:

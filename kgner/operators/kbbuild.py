@@ -112,13 +112,19 @@ def kb_index(
 
     else:
         tok = tokens_col
+    # NULL lang would silently drop out of every lang-keyed equi-join
+    # (scoped retrieval would make such docs unreachable) — route it to a
+    # sentinel "und" index instead, the analogue of an unknown-language ES
+    # index. Queries must use the same sentinel (pipeline._retrieval_inputs
+    # does).
+    lang = F.coalesce(F.col("lang"), F.lit("und")).alias("lang")
     docs = kb_sents.select(
         F.xxhash64("title", "p_id", "s_id").alias("doc_id"),
         "title",
         "url",
         "sentence",
         "paragraph",
-        "lang",
+        lang,
         F.size(tok(F.col("sentence"))).alias("len"),
     )
     # `lang` rides on BOTH tables so bm25_topk(lang_col="lang") can scope the
@@ -129,7 +135,7 @@ def kb_index(
     postings = (
         kb_sents.select(
             F.xxhash64("title", "p_id", "s_id").alias("doc_id"),
-            "lang",
+            lang,
             F.explode(tok(F.lower(F.col("sentence")))).alias("term"),
         )
         .groupBy("term", "doc_id", "lang")

@@ -87,6 +87,11 @@ def bm25_topk(
     stats/df, term-keyed shuffle) is unchanged, and at 10^12 docs it
     SHRINKS the shuffle: each query term joins only its language's
     postings rows instead of every language's.
+
+    NULL lang never equi-joins: rows with a NULL lang value silently match
+    nothing under scoping. Fill a sentinel first — kb_index and the
+    pipeline route NULL lang to "und" (an unknown-language index) so
+    lang-id failures degrade to und-vs-und retrieval, not silence.
     """
     langk = [lang_col] if lang_col else []
 
@@ -122,17 +127,14 @@ def bm25_topk(
             F.broadcast(drop.select("term", *langk)), ["term", *langk], "left_anti"
         )
     # distinct terms per query: BM25 sums each matched term once per doc with
-    # the doc-side tf (the ES match query sums per unique query term).
-    scored = (
+    # the doc-side tf (the ES match query sums per unique query term). One
+    # chain serves both modes: the join key is ["term", *langk] (langk
+    # empty in mix mode) and with_stats picks per-lang join vs crossJoin.
+    scored = with_stats(
         qterms.join(postings, ["term", *langk])
         .join(F.broadcast(doc_freq), ["term", *langk])
-        .join(docs.select("doc_id", "len"), "doc_id")
-        .join(F.broadcast(stats), langk)
-        if langk
-        else qterms.join(postings, "term")
-        .join(F.broadcast(doc_freq), "term")
-        .join(docs.select("doc_id", "len"), "doc_id")
-        .crossJoin(F.broadcast(stats))
+        .join(docs.select("doc_id", "len"), "doc_id"),
+        stats,
     )
     scored = (
         scored

@@ -87,6 +87,9 @@ class Pipeline:
         self.lineage = LineageLog(cfg.workdir)
         self.skipped: list[str] = []
         self.ran: list[str] = []
+        # None until the extract stage actually evaluates the salt decision
+        # (stage skipped on resume / salt_buckets == 0 leaves it None)
+        self.salt_engaged: bool | None = None
 
     # -- stage helpers ------------------------------------------------------
     def _done(self, name: str) -> bool:
@@ -221,7 +224,13 @@ class Pipeline:
             kb_sents, per_lang_analyzer=self.cfg.per_lang_analyzer
         )
         sents = self._read("sentences")
-        lang_cols = ["lang"] if self.cfg.retrieval_lang_scoped else []
+        # same NULL-lang sentinel as kb_index: un-identified sentences query
+        # the "und" index rather than silently matching nothing
+        lang_cols = (
+            [F.coalesce(F.col("lang"), F.lit("und")).alias("lang")]
+            if self.cfg.retrieval_lang_scoped
+            else []
+        )
         if self.cfg.per_lang_analyzer:
             # query tokens must come from the SAME analyzer as the index —
             # ES applies the index analyzer to the query server-side; here

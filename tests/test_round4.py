@@ -265,3 +265,33 @@ def test_kb_index_per_lang_analyzer(spark):
     p2, _ = kb_index(kb_sents)
     zh_default = {r.term for r in p2.collect() if r.lang == "zh"}
     assert "巴黎是城市" in zh_default
+
+
+def test_cjk_analyzer_unicode_whitespace_parity(spark):
+    """Java \\s is ASCII-only by default; the (?U) flag makes the JVM
+    analyzer agree with Python's split_keyword_cjk on U+3000 ideographic
+    space (ubiquitous in real CJK text) and NBSP."""
+    from kgner.functions.text import tokens_col_cjk
+    from kgner.textops import split_keyword_cjk
+
+    texts = ["河流　story　館", "a b 界", "寺庙 x　y"]
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = {r.s: list(r.toks) for r in df.select(
+        "s", tokens_col_cjk(F.col("s")).alias("toks")).collect()}
+    for t in texts:
+        assert got[t] == split_keyword_cjk(t), t
+
+
+def test_kb_index_null_lang_routes_to_und(spark):
+    """NULL lang would silently vanish from every lang-keyed equi-join —
+    kb_index routes it to the 'und' sentinel index instead."""
+    from kgner.operators.kbbuild import kb_index
+
+    kb_sents = spark.createDataFrame(
+        [("P1", 0, 0, "some text here", "p", "u1", None)],
+        "title string, p_id int, s_id int, sentence string, "
+        "paragraph string, url string, lang string",
+    )
+    postings, docs = kb_index(kb_sents)
+    assert all(r.lang == "und" for r in docs.collect())
+    assert all(r.lang == "und" for r in postings.collect())
