@@ -495,11 +495,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     if os.environ.get("KGNER_SCALING_ONLY") == "1":
-        # scaling section alone (implies KGNER_SCALING=1): skips the
-        # headline so the measurement starts in whatever host window exists
-        # NOW instead of after ~5 min of saturating Spark work — useful for
-        # catching calibration-quiet windows; the shipped aggregation is
-        # identical to the full run's
+        # scaling section alone: skips the headline so the measurement
+        # starts in whatever host window exists NOW instead of after ~5 min
+        # of saturating Spark work — useful for catching calibration-quiet
+        # windows; the shipped aggregation is identical to the full run's
         result: dict = {"metric": "scaling_only", "sf": float(sf)}
         _append_scaling(result)
         print(json.dumps(result))

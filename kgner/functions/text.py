@@ -24,8 +24,11 @@ from pyspark.sql.functions import pandas_udf
 
 from kgner import textops
 
-# Subtoken proxy regex, JVM (java.util.regex) compatible — same class as
-# kgner.textops._BPE_ISH_RE so JVM and Python counts agree.
+# Subtoken proxy regex, JVM (java.util.regex) compatible. Java's \s is
+# ASCII-only, matching DuckDB's RE2 \s in the oracles; the Python mirror
+# (kgner.textops._BPE_ISH_RE) pins the SAME ASCII whitespace set explicitly
+# (Python's Unicode \s would diverge on U+3000 etc.), so all three engines
+# count identically.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
@@ -113,6 +116,12 @@ def tokens_col(sentence: Column) -> Column:
 # whitespace/standard one (kb/build_kb.py:17-22 configures ik_max_word /
 # ik_smart for zh; ja/ko get the same char-level treatment here)
 CJK_ANALYZER_LANGS = ("zh", "ja", "ko")
+
+# sentinel index for rows whose lang is NULL (lang-id failure): NULL never
+# equi-joins, so scoped retrieval would silently unreach such rows. BOTH the
+# KB side (kb_index) and the query side (pipeline._retrieval_inputs) must
+# coalesce to THIS constant — they import it from here so they cannot drift.
+UND_LANG = "und"
 
 
 def tokens_col_cjk(sentence: Column) -> Column:

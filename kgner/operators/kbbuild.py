@@ -113,11 +113,13 @@ def kb_index(
     else:
         tok = tokens_col
     # NULL lang would silently drop out of every lang-keyed equi-join
-    # (scoped retrieval would make such docs unreachable) — route it to a
-    # sentinel "und" index instead, the analogue of an unknown-language ES
-    # index. Queries must use the same sentinel (pipeline._retrieval_inputs
-    # does).
-    lang = F.coalesce(F.col("lang"), F.lit("und")).alias("lang")
+    # (scoped retrieval would make such docs unreachable) — route it to the
+    # shared UND_LANG sentinel index instead, the analogue of an
+    # unknown-language ES index. The query side coalesces to the same
+    # constant (pipeline._retrieval_inputs).
+    from kgner.functions.text import UND_LANG
+
+    lang = F.coalesce(F.col("lang"), F.lit(UND_LANG)).alias("lang")
     docs = kb_sents.select(
         F.xxhash64("title", "p_id", "s_id").alias("doc_id"),
         "title",

@@ -224,10 +224,13 @@ class Pipeline:
             kb_sents, per_lang_analyzer=self.cfg.per_lang_analyzer
         )
         sents = self._read("sentences")
-        # same NULL-lang sentinel as kb_index: un-identified sentences query
-        # the "und" index rather than silently matching nothing
+        # same NULL-lang sentinel as kb_index (shared UND_LANG constant):
+        # un-identified sentences query the unknown-language index rather
+        # than silently matching nothing
+        from kgner.functions.text import UND_LANG
+
         lang_cols = (
-            [F.coalesce(F.col("lang"), F.lit("und")).alias("lang")]
+            [F.coalesce(F.col("lang"), F.lit(UND_LANG)).alias("lang")]
             if self.cfg.retrieval_lang_scoped
             else []
         )

@@ -146,7 +146,14 @@ def tokenize(sentence: str) -> list[str]:
     return _TOKEN_RE.findall(sentence)
 
 
-_BPE_ISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+# ASCII whitespace SPELLED OUT, not \s: this pattern string is mirrored on
+# the JVM (java.util.regex, where \s is ASCII-only) and in DuckDB oracles
+# (RE2, \s also ASCII) — Python's Unicode \s would exclude U+3000 etc. from
+# the punct class and silently diverge from both. Pinning the ASCII set
+# makes all three engines count identically (U+3000 counts as one punct
+# subtoken everywhere). RE2's \s lacks \x0b, but strip_nonprintable removes
+# control chars before any counting.
+_BPE_ISH_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^ \t\n\r\f\x0bA-Za-z0-9]")
 
 
 def bpe_ish_tokens(text: str) -> list[str]:

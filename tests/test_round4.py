@@ -295,3 +295,29 @@ def test_kb_index_null_lang_routes_to_und(spark):
     postings, docs = kb_index(kb_sents)
     assert all(r.lang == "und" for r in docs.collect())
     assert all(r.lang == "und" for r in postings.collect())
+
+
+def test_pipeline_null_lang_retrieves_via_und(spark, tmp_path):
+    """BOTH halves of the NULL-lang sentinel: a corpus whose pages AND KB
+    all carry NULL lang still retrieves contexts under scoped retrieval —
+    the query-side coalesce meets the kb_index-side coalesce in the same
+    'und' index. A regression in either half returns zero contexts."""
+    from kgner.fixtures import build_fixtures, to_spark
+    from kgner.pipeline import Pipeline, PipelineConfig
+
+    fx = build_fixtures(n_entities=10, n_pages=10, giant_pages=0)
+    t = to_spark(spark, fx)
+    null_lang = F.lit(None).cast("string")
+    pages = t["pages"].withColumn("lang", null_lang)
+    kb_pages = t["kb_pages"].withColumn("lang", null_lang)
+    cfg = PipelineConfig(
+        workdir=str(tmp_path / "wd"),
+        stages=["extracted", "sentences", "kb_sentences", "canonical",
+                "mentions", "retrievals", "triples"],
+        retrieval_lang_scoped=True,
+    )
+    pipe = Pipeline(spark, cfg, pages, kb_pages, t["redirects"])
+    pipe.run()
+    rows = spark.read.parquet(str(tmp_path / "wd" / "retrievals")).collect()
+    assert len(rows) > 0
+    assert any(len(r["contexts"]) > 0 for r in rows)
