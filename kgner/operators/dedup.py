@@ -96,15 +96,40 @@ def ngram_jaccard_pairs(
         "shingle",
         "left_anti",
     ).localCheckpoint(eager=False)
-    sizes = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # candidate pairs: group docs per shingle and emit sorted combinations
-    # with a nested transform — ONE shuffle of the shingle table instead of
-    # shuffling both sides of a self-join. Per-row memory is bounded by the
-    # blocking above: a shingle has <= max_shingle_df docs, so the pair
-    # array tops out at max_shingle_df^2/2 small structs (~8 MB at the
-    # default 1000) — raise max_shingle_df with executor memory in mind.
+    # PREFIX FILTERING (SSJoin / AllPairs): sort each doc's shingles in ONE
+    # global total order (df asc, shingle asc — rarest first) and generate
+    # candidates only from each doc's PREFIX of length |d| - ceil(t*|d|) + 1.
+    # Lemma: if |a∩b| >= α then the (|a|-α+1)- and (|b|-α+1)-prefixes under
+    # a common total order intersect; J >= t implies α >= ceil(t*|d|) for
+    # both docs, so these prefixes suffice — candidate generation is EXACT
+    # (no recall loss), and every candidate is then verified by a real
+    # intersection. At t=0.999 the prefix is a single (rarest) shingle per
+    # doc: candidate pairs drop from every-shared-shingle (~4.5M at sf0.1)
+    # to shares-the-rarest-shingle (~10k), the dominant cost of the old
+    # enumerate-all-pairs plan. Verification joins are keyed on the (few)
+    # candidate doc_ids, with the per-doc shingle arrays collected once.
+    # NO broadcast on freq: it is vocabulary-sized (the blocking drop-set
+    # broadcast above is tiny, this is the full df table). Both sides are
+    # keyed on shingle, so this is a co-keyed shuffle join; AQE may still
+    # choose broadcast at small SFs from runtime stats.
+    doc_sets = (
+        sh_b.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "shingle"))),
+                lambda x: x["shingle"],
+            ).alias("arr")
+        )
+        .withColumn("n_sh", F.size("arr"))
+        .localCheckpoint(eager=False)  # reused: prefixes + both verify sides
+    )
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+    pfx = doc_sets.select(
+        "doc_id", F.explode(F.slice("arr", 1, prefix_len)).alias("shingle")
+    )
     grp = (
-        sh_b.groupBy("shingle")
+        pfx.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -118,16 +143,23 @@ def ngram_jaccard_pairs(
             ),
         )
     )
-    inter = (
+    cands = (
         grp.select(F.explode(pair_arr).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    a = doc_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"),
+        F.col("n_sh").alias("na"),
+    )
+    b = doc_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"),
+        F.col("n_sh").alias("nb"),
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),

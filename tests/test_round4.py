@@ -321,3 +321,42 @@ def test_pipeline_null_lang_retrieves_via_und(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "wd" / "retrievals")).collect()
     assert len(rows) > 0
     assert any(len(r["contexts"]) > 0 for r in rows)
+
+
+def test_ngram_jaccard_prefix_filter_matches_bruteforce(spark):
+    """Prefix filtering (SSJoin/AllPairs candidate generation) is EXACT:
+    pairs and scores equal the all-pairs brute force at high and low
+    thresholds, including the planted near-dups."""
+    import itertools
+    import random
+
+    from kgner.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(20)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(60)
+    ]
+    docs += [(1000, docs[0][1]), (1001, docs[1][1] + " extra")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shingles(t, n=3):
+        toks = t.strip().lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {d: shingles(t) for d, t in docs}
+    for thresh in (0.999, 0.5):
+        got = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 6))
+            for r in ngram_jaccard_pairs(df, n=3, threshold=thresh).collect()
+        }
+        want = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter / uni >= thresh:
+                want.add((a, b, round(inter / uni, 6)))
+        assert got == want, thresh
