@@ -91,11 +91,14 @@ def ngram_jaccard_pairs(
     # semantics) — else boilerplate-heavy duplicates would be missed because
     # inter shrinks while na/nb stay full.
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # no checkpoint on sh_b: doc_sets below is its ONLY consumer and is
+    # itself checkpointed, so materializing the blocked shingles would just
+    # write 500k+ rows a third time
     sh_b = sh.join(
         F.broadcast(freq.filter(F.col("df") > max_shingle_df).select("shingle")),
         "shingle",
         "left_anti",
-    ).localCheckpoint(eager=False)
+    )
     # PREFIX FILTERING (SSJoin / AllPairs): sort each doc's shingles in ONE
     # global total order (df asc, shingle asc — rarest first) and generate
     # candidates only from each doc's PREFIX of length |d| - ceil(t*|d|) + 1.
