@@ -112,9 +112,12 @@ def tokens_col(sentence: Column) -> Column:
     return F.split(F.trim(sentence), r"\s+")
 
 
-# languages whose reference ES index uses a CJK analyzer rather than the
-# whitespace/standard one (kb/build_kb.py:17-22 configures ik_max_word /
-# ik_smart for zh; ja/ko get the same char-level treatment here)
+# languages routed to the CJK analyzer instead of the whitespace one.
+# DELIBERATE DEVIATION from the reference: kb/build_kb.py:17-22 configures
+# ik_max_word/ik_smart for zh ONLY (ja/ko fall through to ES "standard");
+# we extend the char-level treatment to ja/ko because their han runs have
+# the same no-whitespace problem and there is no standard-analyzer stand-in
+# here. Set this to ("zh",) for strict reference routing parity.
 CJK_ANALYZER_LANGS = ("zh", "ja", "ko")
 
 # sentinel index for rows whose lang is NULL (lang-id failure): NULL never

@@ -30,6 +30,7 @@ class StageRecord:
     inputs: tuple[str, ...] = ()  # upstream stages/tables; rows_in of this
     # stage = rows_out of each input's record (stages are table-to-table)
     partitions: dict[str, int] | None = None  # per-partition-file row counts
+    extras: dict | None = None  # stage-specific plan decisions (e.g. salting)
 
 
 class LineageLog:
@@ -50,6 +51,7 @@ class LineageLog:
         write_fn,
         inputs: tuple[str, ...] = (),
         table_dir: str | None = None,
+        extras: dict | None = None,
     ) -> None:
         """Run write_fn(df_with_observation); capture row count + wall time,
         plus PER-PARTITION row counts read from the written parquet footers
@@ -60,7 +62,9 @@ class LineageLog:
         wall = int((time.monotonic() - t0) * 1000)
         rows = int(obs.get.get("rows", 0))
         parts = self._partition_rows(table_dir) if table_dir else None
-        self.record(StageRecord(stage, rows, wall, "ok", self.run_id, inputs, parts))
+        self.record(
+            StageRecord(stage, rows, wall, "ok", self.run_id, inputs, parts, extras)
+        )
 
     @staticmethod
     def _partition_rows(table_dir: str) -> dict[str, int]:

@@ -127,7 +127,16 @@ def ngram_jaccard_pairs(
         .withColumn("n_sh", F.size("arr"))
         .localCheckpoint(eager=False)  # reused: prefixes + both verify sides
     )
-    prefix_len = F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+    # epsilon before ceil: t*n_sh computed in doubles can FP-round just above
+    # an exact integer (t=0.55, n=20 -> 11.0000000000000018, ceil=12), which
+    # would SHORTEN the prefix and drop a true pair. Subtracting 1e-9 can only
+    # lengthen the prefix, preserving the exactness guarantee at negligible
+    # extra candidate cost.
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
+        + 1
+    )
     pfx = doc_sets.select(
         "doc_id", F.explode(F.slice("arr", 1, prefix_len)).alias("shingle")
     )

@@ -52,7 +52,12 @@ class PipelineConfig:
     # per-language index ANALYZERS (not just routing): zh/ja/ko KB docs and
     # queries tokenize char-level for han runs (the spliteKeyWord / ik
     # stand-in, kb/build_kb.py:17-22) so the query token stream matches the
-    # index's, as the ES analyzer guarantees server-side
+    # index's, as the ES analyzer guarantees server-side.
+    # DELIBERATE DEVIATION from the reference: build_kb.py gives only zh the
+    # ik analyzer (ja/ko fall through to ES "standard"), but han-range
+    # characters in ja text and the absence of a standard-analyzer stand-in
+    # make char-level the better default here for all three CJK langs; set
+    # kgner.functions.text.CJK_ANALYZER_LANGS = ("zh",) for strict parity.
     per_lang_analyzer: bool = False
     stages: list[str] = field(
         default_factory=lambda: [
@@ -90,6 +95,7 @@ class Pipeline:
         # None until the extract stage actually evaluates the salt decision
         # (stage skipped on resume / salt_buckets == 0 leaves it None)
         self.salt_engaged: bool | None = None
+        self.salt_share: float | None = None  # measured hot-domain share
 
     # -- stage helpers ------------------------------------------------------
     def _done(self, name: str) -> bool:
@@ -99,7 +105,8 @@ class Pipeline:
         return io.read_table(self.spark, self.cfg.workdir, name)
 
     def _write(
-        self, name: str, df: DataFrame, partition_by=None, inputs: tuple = ()
+        self, name: str, df: DataFrame, partition_by=None, inputs: tuple = (),
+        extras: dict | None = None,
     ) -> None:
         self.lineage.observed_write(
             name,
@@ -107,6 +114,7 @@ class Pipeline:
             lambda d: io.write_table(d, self.cfg.workdir, name, partition_by),
             inputs=inputs,
             table_dir=io.table_path(self.cfg.workdir, name),
+            extras=extras,
         )
         self.ran.append(name)
 
@@ -134,7 +142,18 @@ class Pipeline:
         # partition by ingest day (the parquet stand-in for Iceberg
         # days(warc_ts) partition transform)
         out = out.withColumn("warc_day", F.to_date("warc_ts"))
-        self._write("extracted", out, partition_by=["warc_day"], inputs=("pages",))
+        self._write(
+            "extracted",
+            out,
+            partition_by=["warc_day"],
+            inputs=("pages",),
+            # the salt decision + measured hot-domain share persist in the
+            # stage's lineage record, so consumers can see which plan ran
+            extras={
+                "salt_engaged": self.salt_engaged,
+                "hot_domain_share": self.salt_share,
+            },
+        )
 
     def _should_salt(self, pages: DataFrame) -> bool:
         """Adaptive-salt probe: salt only when the hottest domain actually
@@ -143,8 +162,10 @@ class Pipeline:
         #domains rows before the tiny shuffle; salt_probe_fraction
         Bernoulli-samples that pass at web scale — the SHARE is a ratio,
         unbiased under sampling). salt_threshold=None preserves the
-        static always-salt behavior. The decision lands in
-        self.salt_engaged so lineage consumers can see which plan ran."""
+        static always-salt behavior. The decision and the measured
+        hot-domain share are persisted in the extracted stage's lineage
+        record (extras.salt_engaged / extras.hot_domain_share); both stay
+        None when the stage is skipped on resume."""
         if self.cfg.salt_threshold is None:
             self.salt_engaged = True
             return True
@@ -158,6 +179,7 @@ class Pipeline:
             .first()
         )
         share = (row["mx"] or 0) / max(row["tot"] or 0, 1)
+        self.salt_share = share
         self.salt_engaged = share > self.cfg.salt_threshold
         return self.salt_engaged
 
