@@ -141,6 +141,75 @@ def tokens_col_cjk(sentence: Column) -> Column:
     return F.regexp_extract_all(sentence, F.lit(r"(?U)[一-鿿]|[^一-鿿\s]+"), 0)
 
 
+def fmm_segment_col(s: Column, lexicon) -> Column:
+    """Forward-maximum-match dictionary segmentation of a han run, fully
+    JVM-side — the ik_max_word stand-in UPGRADE over char-level
+    tokens_col_cjk (the reference's zh index analyzer, kb/build_kb.py:17-22,
+    is dictionary-based; char-level was a first approximation).
+
+    Classic FMM: at each position take the LONGEST lexicon word matching the
+    text prefix, else emit one character and advance by one. Expressed as a
+    single F.aggregate fold over character positions with state
+    (next_position, tokens) — whole-stage-codegen'd, no Python workers. The
+    lexicon is compiled into per-length literal IN-sets (Catalyst turns >10
+    literals into an O(1) InSet hash probe); for lexica beyond ~100k entries
+    switch to a broadcast-join formulation instead of literal sets.
+
+    Mirrors kgner.textops.fmm_segment exactly (parity-tested)."""
+    by_len: dict[int, list[str]] = {}
+    for w in lexicon:
+        if len(w) >= 2:
+            by_len.setdefault(len(w), []).append(w)
+
+    def step(acc, i):
+        out = F.struct(
+            (i + F.lit(1)).alias("nxt"),
+            F.concat(acc["toks"], F.array(F.substr(s, i, F.lit(1)))).alias("toks"),
+        )
+        # ascending wrap order => longest length sits OUTERMOST in the
+        # when-chain, i.e. is tested first (maximum match wins). A word
+        # overrunning the string can't match: substr truncates, != word.
+        for length in sorted(by_len):
+            cand = F.substr(s, i, F.lit(length))
+            out = F.when(
+                cand.isin(*by_len[length]),
+                F.struct(
+                    (i + F.lit(length)).alias("nxt"),
+                    F.concat(acc["toks"], F.array(cand)).alias("toks"),
+                ),
+            ).otherwise(out)
+        # positions consumed by a previous multi-char match are skipped
+        return F.when(i < acc["nxt"], acc).otherwise(out)
+
+    init = F.struct(
+        F.lit(1).cast("int").alias("nxt"),
+        F.array().cast("array<string>").alias("toks"),
+    )
+    # sequence(1, 0) would step BACKWARDS — guard the empty string
+    return F.when(F.length(s) < 1, F.array().cast("array<string>")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), F.length(s)), init, step, lambda a: a["toks"]
+        )
+    )
+
+
+def tokens_col_cjk_dict(sentence: Column, lexicon) -> Column:
+    """CJK analyzer with DICTIONARY segmentation for han runs: han runs are
+    FMM-segmented against the lexicon (fmm_segment_col), other non-space
+    runs stay whitespace tokens — the closer ik_max_word stand-in
+    (kb/build_kb.py:17-22). With an empty lexicon this degenerates to
+    char-level tokens_col_cjk output."""
+    segs = F.regexp_extract_all(sentence, F.lit(r"(?U)[一-鿿]+|[^一-鿿\s]+"), 0)
+    return F.flatten(
+        F.transform(
+            segs,
+            lambda seg: F.when(
+                seg.rlike("[一-鿿]"), fmm_segment_col(seg, lexicon)
+            ).otherwise(F.array(seg)),
+        )
+    )
+
+
 def subtoken_len_col(sentence: Column) -> Column:
     """JVM-side subtoken-count proxy (matches kgner.textops.subtoken_len)."""
     return F.size(F.regexp_extract_all(sentence, F.lit(BPE_ISH_PATTERN), 0))

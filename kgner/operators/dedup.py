@@ -78,8 +78,17 @@ def ngram_jaccard_pairs(
     max_shingle_df: int = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_doc_shingles: int | None = None,
 ) -> DataFrame:
-    """-> (doc_a, doc_b, jaccard) pairs with doc_a < doc_b, jaccard >= t."""
+    """-> (doc_a, doc_b, jaccard) pairs with doc_a < doc_b, jaccard >= t.
+
+    max_doc_shingles caps each doc's DISCRIMINATIVE shingle set at its N
+    rarest shingles (same df-asc/shingle-asc total order the prefix filter
+    uses), bounded BEFORE the per-doc collect — the guard that keeps one
+    pathological giant document (a 100MB page is ~20M shingles) from
+    blowing the collect_list buffer at scale. When it binds, Jaccard is
+    computed over the capped sets on BOTH sides (sizes and intersections
+    agree), so results for normal-sized docs are unchanged. None = off."""
     # Materialize the exploded shingle frame ONCE (localCheckpoint truncates
     # lineage and is reused by all five consumers below — without it the
     # regex shingle explosion recomputes per consumer: sizes, freq, and both
@@ -115,8 +124,23 @@ def ngram_jaccard_pairs(
     # broadcast above is tiny, this is the full df table). Both sides are
     # keyed on shingle, so this is a co-keyed shuffle join; AQE may still
     # choose broadcast at small SFs from runtime stats.
+    ranked = sh_b.join(freq, "shingle")
+    if max_doc_shingles is not None:
+        # bound per-doc cardinality BEFORE the collect: row_number under the
+        # SAME (df, shingle) total order the prefix filter sorts by, so the
+        # kept set is each doc's max_doc_shingles rarest shingles. The
+        # window shuffles/sorts by doc_id — the groupBy below reuses that
+        # partitioning, so this adds a sort but not a second shuffle.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ranked = (
+            ranked.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= max_doc_shingles)
+            .drop("__rk")
+        )
     doc_sets = (
-        sh_b.join(freq, "shingle")
+        ranked
         .groupBy("doc_id")
         .agg(
             F.transform(

@@ -81,7 +81,9 @@ def kb_sentences(kb_pages: DataFrame) -> DataFrame:
 
 
 def kb_index(
-    kb_sents: DataFrame, per_lang_analyzer: bool = False
+    kb_sents: DataFrame,
+    per_lang_analyzer: bool = False,
+    zh_lexicon=None,
 ) -> tuple[DataFrame, DataFrame]:
     """kb_sentences -> (postings(term, doc_id, tf), docs(doc_id, len, title,
     url, sentence, paragraph)).
@@ -101,14 +103,30 @@ def kb_index(
     (tokens_col_cjk / split_keyword_cjk for CJK-language queries) — in ES
     the index analyzer does this server-side; here the token stream IS the
     contract. Map-only branch on lang: no extra scan, no shuffle change.
+
+    zh_lexicon (with per_lang_analyzer=True) upgrades the zh analyzer from
+    char-level to DICTIONARY segmentation: zh docs' han runs are
+    forward-maximum-matched against the lexicon (tokens_col_cjk_dict — the
+    faithful ik_max_word stand-in; the reference gives ONLY zh the ik
+    analyzer, kb/build_kb.py:17-22, so ja/ko stay char-level). The query
+    side must use the SAME lexicon (PipelineConfig.zh_lexicon plumbs both).
     """
     if per_lang_analyzer:
-        from kgner.functions.text import CJK_ANALYZER_LANGS, tokens_col_cjk
+        from kgner.functions.text import (
+            CJK_ANALYZER_LANGS,
+            tokens_col_cjk,
+            tokens_col_cjk_dict,
+        )
 
         def tok(col):
-            return F.when(
+            cjk = F.when(
                 F.col("lang").isin(*CJK_ANALYZER_LANGS), tokens_col_cjk(col)
             ).otherwise(tokens_col(col))
+            if zh_lexicon:
+                return F.when(
+                    F.col("lang") == "zh", tokens_col_cjk_dict(col, zh_lexicon)
+                ).otherwise(cjk)
+            return cjk
 
     else:
         tok = tokens_col

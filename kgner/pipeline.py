@@ -59,6 +59,11 @@ class PipelineConfig:
     # make char-level the better default here for all three CJK langs; set
     # kgner.functions.text.CJK_ANALYZER_LANGS = ("zh",) for strict parity.
     per_lang_analyzer: bool = False
+    # dictionary for zh FMM segmentation (the ik_max_word stand-in upgrade,
+    # kb/build_kb.py:17-22): when set (and per_lang_analyzer=True), zh KB
+    # docs AND zh queries segment han runs against this lexicon instead of
+    # char-level. None keeps char-level zh.
+    zh_lexicon: list[str] | None = None
     stages: list[str] = field(
         default_factory=lambda: [
             "extracted",
@@ -243,7 +248,9 @@ class Pipeline:
 
         kb_sents = self._read("kb_sentences")
         postings, docs = kb_index(
-            kb_sents, per_lang_analyzer=self.cfg.per_lang_analyzer
+            kb_sents,
+            per_lang_analyzer=self.cfg.per_lang_analyzer,
+            zh_lexicon=self.cfg.zh_lexicon,
         )
         sents = self._read("sentences")
         # same NULL-lang sentinel as kb_index (shared UND_LANG constant):
@@ -260,12 +267,22 @@ class Pipeline:
             # query tokens must come from the SAME analyzer as the index —
             # ES applies the index analyzer to the query server-side; here
             # the token stream is the contract
-            from kgner.functions.text import CJK_ANALYZER_LANGS, tokens_col_cjk
+            from kgner.functions.text import (
+                CJK_ANALYZER_LANGS,
+                tokens_col_cjk,
+                tokens_col_cjk_dict,
+            )
 
             qtok = F.when(
                 F.col("lang").isin(*CJK_ANALYZER_LANGS),
                 tokens_col_cjk(F.col("sentence")),
             ).otherwise(F.col("tokens"))
+            if self.cfg.zh_lexicon:
+                # zh queries segment with the SAME dictionary as the index
+                qtok = F.when(
+                    F.col("lang") == "zh",
+                    tokens_col_cjk_dict(F.col("sentence"), self.cfg.zh_lexicon),
+                ).otherwise(qtok)
         else:
             qtok = F.col("tokens")
         queries = sents.select(

@@ -231,13 +231,17 @@ def _ntz_epoch(col):
 
 
 def q_events_hourly(spark, sf_dir):
-    """Date-trunc grouped agg (metrics layer)."""
+    """Date-trunc grouped agg (metrics layer) + exact per-group distinct
+    users (A family countDistinct — absorbed the former standalone
+    distinct_users contract row so every query fits the driver's 50-row
+    CORRECTNESS cap)."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy(
         F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
 
@@ -245,6 +249,7 @@ def q_events_hourly(spark, sf_dir):
 ORACLE_EVENTS_HOURLY = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
        count(*) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
        CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """
@@ -315,21 +320,6 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(max(session_idx) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM s GROUP BY 1
-"""
-
-
-def q_distinct_users(spark, sf_dir):
-    """A family: exact distinct aggregation per group."""
-    e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-ORACLE_DISTINCT_USERS = """
-SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-       count(*) AS n_events FROM events GROUP BY 1
 """
 
 
@@ -486,42 +476,23 @@ GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
 """
 
 
-def q_shingles(spark, sf_dir):
-    """Dedup support: distinct word-3-gram shingle count per doc."""
-    from kgner.operators.dedup import shingle_df
-
-    d = _t(spark, sf_dir, "documents")
-    return (
-        shingle_df(d, n=3)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shingles"))
-        .select(F.col("doc_id").cast("long").alias("doc_id"), "n_shingles")
-    )
-
-
-ORACLE_SHINGLES = r"""
-WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-           FROM documents)
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(len(list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-            ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)]
-            END)) AS BIGINT) AS n_shingles
-FROM t
-"""
-
-
 def q_ngram_jaccard(spark, sf_dir):
     """Dedup #2: n-gram Jaccard similarity pairs (shingle equi-join blocking).
 
     Documents are unioned with a shifted copy of themselves so every doc has
-    one exact near-dup — exercises the join path with non-empty output."""
+    one exact near-dup — exercises the join path with non-empty output.
+    (The former standalone `shingles` contract row was folded into this
+    family: ngram_jaccard_pairs runs shingle_df as its first stage, the
+    brute-force equivalence test in tests/test_round4.py re-derives the
+    shingle sets independently, and tests/test_round5.py keeps a direct
+    shingle_df unit check.)"""
     from kgner.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = d.unionByName(
         d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
     )
-    pairs = ngram_jaccard_pairs(doubled, n=3, threshold=0.999)
+    pairs = ngram_jaccard_pairs(doubled, n=3, threshold=0.999, max_doc_shingles=4096)
     return pairs.select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -532,7 +503,11 @@ def q_ngram_jaccard(spark, sf_dir):
 # shared CTE prefix: self-doubled corpus -> blocked shingles -> pair
 # intersections. Composed (not copy-pasted) into BOTH ngram_jaccard and
 # dedup_survivors oracles so the pair semantics cannot drift apart.
-NGRAM_PAIRS_PREFIX = r"""
+# {cap} = max_doc_shingles replay: each doc keeps its N rarest
+# discriminative shingles under the operator's (df asc, shingle asc) total
+# order — ngram_jaccard binds it at 4096 (giant-doc guard), dedup_survivors
+# leaves it effectively unbounded (operator default None)
+NGRAM_PAIRS_PREFIX_T = r"""
 WITH d AS (
   SELECT doc_id, text FROM documents
   UNION ALL SELECT doc_id + 1000000, text FROM documents
@@ -544,8 +519,15 @@ WITH d AS (
            ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN generate_series(1, len(toks)-2)] END
          )) AS shingle
   FROM t
-), freq AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000),
-shb AS (SELECT * FROM sh WHERE shingle NOT IN (SELECT shingle FROM freq)),
+), freqall AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+shb AS (
+  SELECT doc_id, shingle FROM (
+    SELECT sh.doc_id, sh.shingle,
+           row_number() OVER (PARTITION BY sh.doc_id ORDER BY f.df, sh.shingle) AS rk
+    FROM sh JOIN freqall f USING (shingle)
+    WHERE f.df <= 1000
+  ) WHERE rk <= {cap}
+),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shb GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -553,7 +535,9 @@ inter AS (
   GROUP BY 1, 2
 )"""
 
-ORACLE_NGRAM_JACCARD = NGRAM_PAIRS_PREFIX + r"""
+NGRAM_PAIRS_PREFIX = NGRAM_PAIRS_PREFIX_T.replace("{cap}", "1000000000")
+
+ORACLE_NGRAM_JACCARD = NGRAM_PAIRS_PREFIX_T.replace("{cap}", "4096") + r"""
 SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
        round(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
 FROM inter
@@ -1342,131 +1326,6 @@ WHERE rank <= 10
 """.replace("{gaz}", GAZ_SQL)
 
 
-def q_span_f1(spark, sf_dir):
-    """A-5: chunk-level P/R/F1 (conlleval_perl.py:207-350) — gold = all
-    gazetteer spans, pred = spans of length <= 2 (a model that misses long
-    spans); exact span-set compare aggregated to micro metrics.
-
-    Single plan, single action: gold FULL OUTER pred on the span key, one
-    agg over null-side indicators, metrics derived as plan expressions —
-    the span decode runs ONCE per side (localCheckpoint reuse), never on
-    the driver. (Replaces a 3-action count/count/count shape that re-derived
-    the decode ~6x and serialized on the driver.)"""
-    spans = (
-        q_entity_spans(spark, sf_dir)
-        .select("doc_id", "start_pos", "span_len")
-        .localCheckpoint(eager=False)
-    )
-    key = ["doc_id", "start_pos", "span_len"]
-    gold = spans.withColumn("__g", F.lit(1))
-    pred = spans.filter(F.col("span_len") <= 2).withColumn("__p", F.lit(1))
-    both = gold.join(pred, key, "full_outer")
-    m = both.agg(
-        F.sum(
-            F.when(F.col("__g").isNotNull() & F.col("__p").isNotNull(), 1).otherwise(0)
-        )
-        .cast("long")
-        .alias("tp"),
-        F.sum(F.when(F.col("__g").isNull(), 1).otherwise(0)).cast("long").alias("fp"),
-        F.sum(F.when(F.col("__p").isNull(), 1).otherwise(0)).cast("long").alias("fn"),
-    )
-    p = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
-    r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
-    f1 = 2 * p * r / F.greatest(p + r, F.lit(1e-12))
-    return m.select(
-        "tp",
-        "fp",
-        "fn",
-        F.round(p, 6).alias("precision"),
-        F.round(r, 6).alias("recall"),
-        F.round(f1, 6).alias("f1"),
-    )
-
-
-ORACLE_SPAN_F1 = r"""
-WITH t AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
-         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
-  FROM documents
-), g AS (
-  SELECT doc_id, ord, ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
-  FROM t WHERE tok IN {gaz}
-), spans AS (
-  SELECT doc_id, min(ord) AS start_pos, count(*) AS span_len FROM g GROUP BY doc_id, isl
-), m AS (
-  SELECT count(*) AS gold,
-         count(*) FILTER (WHERE span_len <= 2) AS tp
-  FROM spans
-)
-SELECT CAST(tp AS BIGINT) AS tp,
-       CAST(0 AS BIGINT) AS fp,
-       CAST(gold - tp AS BIGINT) AS fn,
-       round(CAST(CASE WHEN tp > 0 THEN 1.0 ELSE 0.0 END AS DOUBLE), 6) AS precision,
-       round(CAST(tp AS DOUBLE) / greatest(gold, 1), 6) AS recall,
-       round(2.0 * (CASE WHEN tp > 0 THEN 1.0 ELSE 0.0 END) * (CAST(tp AS DOUBLE) / greatest(gold, 1))
-             / greatest((CASE WHEN tp > 0 THEN 1.0 ELSE 0.0 END) + CAST(tp AS DOUBLE) / greatest(gold, 1), 1e-12), 6) AS f1
-FROM m
-""".replace("{gaz}", GAZ_SQL)
-
-
-def q_posterior_spans(spark, sf_dir):
-    """A-1 posterior variant (M-6): ensemble of two engineered CRF models,
-    per-token marginals via forward_backward averaged across models, argmax
-    decode (kgner.spanops.posterior_vote_decode — the reference's `posterior`
-    distillation/multiview combination), then span decode. Emissions peak at
-    the gazetteer tags so the posterior argmax provably equals the
-    gaps-and-islands SQL oracle."""
-    import numpy as np
-
-    from kgner.operators.ensemble import decode_spans_udf
-    from kgner.operators.inference import tag_with_posterior_ensemble
-
-    d = _t(spark, sf_dir, "documents")
-    toks = _toks(F.col("text"))
-    sents = d.select(
-        F.col("doc_id").cast("string").alias("url"),
-        F.lit(0).cast("int").alias("sent_id"),
-        toks.alias("tokens"),
-        F.size(toks).alias("subtoken_len"),
-    )
-    gaz = set(GAZ)
-    tagset = ["O", "B-ENT", "I-ENT"]
-    dim = 3
-
-    def embed(tokens):
-        out = np.zeros((len(tokens), dim))
-        prev_gaz = False
-        for i, t in enumerate(tokens):
-            is_gaz = t in gaz
-            out[i, 1 if (is_gaz and not prev_gaz) else (2 if is_gaz else 0)] = 5.0
-            prev_gaz = is_gaz
-        return out
-
-    transitions = np.zeros((dim + 2, dim + 2))
-    transitions[0, 2] = -10.0
-    transitions[dim, 2] = -10.0
-    models = [(np.eye(dim), transitions), (2.0 * np.eye(dim), transitions)]
-    tagged = tag_with_posterior_ensemble(sents, models, tagset, embed_fn=embed)
-    spans = tagged.join(
-        sents.select("url", "sent_id", "tokens"), ["url", "sent_id"]
-    ).select(
-        F.col("url").cast("long").alias("doc_id"),
-        "tokens",
-        F.explode(decode_spans_udf(F.col("tags"))).alias("span"),
-    )
-    return spans.select(
-        "doc_id",
-        (F.col("span.start") + 1).cast("long").alias("start_pos"),
-        (F.col("span.end") - F.col("span.start")).cast("long").alias("span_len"),
-        F.concat_ws(
-            " ",
-            F.slice(
-                F.col("tokens"),
-                F.col("span.start") + 1,
-                F.col("span.end") - F.col("span.start"),
-            ),
-        ).alias("span_text"),
-    )
 
 
 def q_windowed_crf_spans(spark, sf_dir):
@@ -1805,14 +1664,19 @@ HAVING count(*) > 0  -- zero rows on gaz-free data, matching the Spark side
 """.replace("{gaz}", GAZ_SQL)
 
 
-def q_span_f1_by_label(spark, sf_dir):
-    """A-2/A-5 per-type table: conlleval's per-label P/R/F1 lines
-    (conlleval_perl.py:207-350 prints one row per entity type). Label = the
+def q_span_f1(spark, sf_dir):
+    """A-2/A-5: the full conlleval report (conlleval_perl.py:207-350) — one
+    P/R/F1 row per entity type PLUS the overall micro line, exactly the two
+    sections conlleval prints, in ONE query (merged the former separate
+    span_f1 / span_f1_by_label contract rows; the micro row aggregates the
+    SAME predictions as the per-label rows, as conlleval does). Label = the
     span's first token (deterministic type stand-in). The proxy model
     predicts (a) every gold span of length <= 2 and (b) a spurious
     single-token span at position 1 of every document — so per-label fp, fn
-    and tp are all exercised. Same single-plan shape as span_f1: full_outer
-    on the labeled span key + one per-label agg."""
+    and tp are all exercised. Single plan: full_outer on the labeled span
+    key + one rollup(label) agg (the rollup grand-total IS the micro line,
+    label '<ALL>'); the span decode runs ONCE per side (localCheckpoint
+    reuse), never on the driver."""
     spans = (
         q_entity_spans(spark, sf_dir)
         .select(
@@ -1839,7 +1703,7 @@ def q_span_f1_by_label(spark, sf_dir):
         .withColumn("__p", F.lit(1))
     )
     both = gold.join(pred, key, "full_outer")
-    m = both.groupBy("label").agg(
+    m = both.rollup("label").agg(
         F.sum(
             F.when(F.col("__g").isNotNull() & F.col("__p").isNotNull(), 1).otherwise(0)
         )
@@ -1852,7 +1716,7 @@ def q_span_f1_by_label(spark, sf_dir):
     r = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
     f1 = 2 * p * r / F.greatest(p + r, F.lit(1e-12))
     return m.select(
-        "label",
+        F.coalesce("label", F.lit("<ALL>")).alias("label"),
         "tp",
         "fp",
         "fn",
@@ -1862,7 +1726,7 @@ def q_span_f1_by_label(spark, sf_dir):
     )
 
 
-ORACLE_SPAN_F1_BY_LABEL = r"""
+ORACLE_SPAN_F1 = r"""
 WITH t AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
          generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
@@ -1893,9 +1757,10 @@ WITH t AS (
    AND g.span_len = p.span_len AND g.label = p.label
 ), m AS (
   SELECT label, sum(is_tp) AS tp, sum(is_fp) AS fp, sum(is_fn) AS fn
-  FROM joined GROUP BY label
+  FROM joined GROUP BY ROLLUP(label)
 )
-SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+SELECT coalesce(label, '<ALL>') AS label,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        CAST(fn AS BIGINT) AS fn,
        round(CAST(tp AS DOUBLE) / greatest(tp + fp, 1), 6) AS precision,
        round(CAST(tp AS DOUBLE) / greatest(tp + fn, 1), 6) AS recall,
@@ -2210,17 +2075,23 @@ FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
 
 
 def q_crf_spans(spark, sf_dir):
-    """M-4/M-5/W-1: the ML-inference path through the driver contract —
-    emission projection + numpy CRF Viterbi (mapInPandas) + span decode.
+    """M-4/M-5/M-6/M-7/W-1: the ML-inference paths through the driver
+    contract — emission projection + numpy CRF decode (mapInPandas) + span
+    decode, with BOTH decoders in one result (merged the former separate
+    crf_spans / posterior_spans contract rows, discriminated by the
+    `decoder` column): 'viterbi' = single-model Viterbi (M-4); 'posterior' =
+    two-model ensemble whose per-token forward_backward marginals are
+    averaged and argmax-decoded (kgner.spanops.posterior_vote_decode — the
+    reference's posterior distillation/multiview combination, M-6/M-7).
 
     Emissions are engineered from the gazetteer (B-ENT at run starts, I-ENT
-    inside) so the decoded spans provably equal the gaps-and-islands SQL
-    oracle — i.e. the CRF plumbing is verified by DuckDB even though no SQL
-    engine can run a CRF."""
+    inside) so BOTH decodes provably equal the gaps-and-islands SQL oracle —
+    i.e. the CRF plumbing is verified by DuckDB even though no SQL engine
+    can run a CRF."""
     import numpy as np
 
     from kgner.operators.ensemble import decode_spans_udf
-    from kgner.operators.inference import tag_with_crf
+    from kgner.operators.inference import tag_with_crf, tag_with_posterior_ensemble
 
     d = _t(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
@@ -2247,27 +2118,60 @@ def q_crf_spans(spark, sf_dir):
     transitions = np.zeros((dim + 2, dim + 2))
     transitions[0, 2] = -10.0  # O -> I-ENT forbidden
     transitions[dim, 2] = -10.0  # START -> I-ENT forbidden
-    tagged = tag_with_crf(sents, w, transitions, tagset, embed_fn=embed)
-    spans = tagged.join(
-        sents.select("url", "sent_id", "tokens"), ["url", "sent_id"]
-    ).select(
-        F.col("url").cast("long").alias("doc_id"),
-        "tokens",
-        F.explode(decode_spans_udf(F.col("tags"))).alias("span"),
+    models = [(w, transitions), (2.0 * w, transitions)]
+
+    def spans_of(tagged, decoder):
+        spans = tagged.join(
+            sents.select("url", "sent_id", "tokens"), ["url", "sent_id"]
+        ).select(
+            F.col("url").cast("long").alias("doc_id"),
+            "tokens",
+            F.explode(decode_spans_udf(F.col("tags"))).alias("span"),
+        )
+        return spans.select(
+            "doc_id",
+            F.lit(decoder).alias("decoder"),
+            (F.col("span.start") + 1).cast("long").alias("start_pos"),
+            (F.col("span.end") - F.col("span.start")).cast("long").alias("span_len"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("tokens"),
+                    F.col("span.start") + 1,
+                    F.col("span.end") - F.col("span.start"),
+                ),
+            ).alias("span_text"),
+        )
+
+    viterbi = spans_of(
+        tag_with_crf(sents, w, transitions, tagset, embed_fn=embed), "viterbi"
     )
-    return spans.select(
-        "doc_id",
-        (F.col("span.start") + 1).cast("long").alias("start_pos"),
-        (F.col("span.end") - F.col("span.start")).cast("long").alias("span_len"),
-        F.concat_ws(
-            " ",
-            F.slice(
-                F.col("tokens"),
-                F.col("span.start") + 1,
-                F.col("span.end") - F.col("span.start"),
-            ),
-        ).alias("span_text"),
+    posterior = spans_of(
+        tag_with_posterior_ensemble(sents, models, tagset, embed_fn=embed),
+        "posterior",
     )
+    return viterbi.unionByName(posterior)
+
+
+ORACLE_CRF_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS ord
+  FROM documents
+), g AS (
+  SELECT doc_id, tok, ord,
+         ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+  FROM t WHERE tok IN {gaz}
+), s AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(min(ord) AS BIGINT) AS start_pos,
+         count(*) AS span_len,
+         string_agg(tok, ' ' ORDER BY ord) AS span_text
+  FROM g GROUP BY doc_id, isl
+)
+SELECT s.doc_id, dec.decoder, s.start_pos, s.span_len, s.span_text
+FROM s CROSS JOIN (VALUES ('viterbi'), ('posterior')) dec(decoder)
+""".replace("{gaz}", GAZ_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -2483,7 +2387,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "event_gaps": q_event_gaps,
     "sessionize": q_sessionize,
-    "distinct_users": q_distinct_users,
     "event_type_dict": q_event_type_dict,
     "props_parse": q_props_parse,
     "vocab": q_vocab,
@@ -2492,7 +2395,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsample": q_upsample,
     "doc_stats": q_doc_stats,
     "exact_dedup": q_exact_dedup,
-    "shingles": q_shingles,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_dups": q_simhash_dups,
@@ -2508,7 +2410,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_entity_boost": q_bm25_entity_boost,
     "bioes_tags": q_bioes_tags,
     "span_f1": q_span_f1,
-    "span_f1_by_label": q_span_f1_by_label,
     "ensemble_spans": q_ensemble_spans,
     "contextual_spans": q_contextual_spans,
     "span_f1_mention": q_span_f1_mention,
@@ -2518,7 +2419,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "context_assembly": q_context_assembly,
     "crf_spans": q_crf_spans,
     "windowed_crf_spans": q_windowed_crf_spans,
-    "posterior_spans": q_posterior_spans,
     "multimodal_context": q_multimodal_context,
     "pattern_flags": q_pattern_flags,
     "tfidf_features": q_tfidf_features,
@@ -2538,7 +2438,6 @@ ORACLES: dict[str, str] = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "event_gaps": ORACLE_EVENT_GAPS,
     "sessionize": ORACLE_SESSIONIZE,
-    "distinct_users": ORACLE_DISTINCT_USERS,
     "event_type_dict": ORACLE_EVENT_DICT,
     "props_parse": ORACLE_PROPS,
     "vocab": ORACLE_VOCAB,
@@ -2547,7 +2446,6 @@ ORACLES: dict[str, str] = {
     "upsample": ORACLE_UPSAMPLE,
     "doc_stats": ORACLE_DOC_STATS,
     "exact_dedup": ORACLE_EXACT_DEDUP,
-    "shingles": ORACLE_SHINGLES,
     "ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "minhash_lsh": ORACLE_MINHASH,  # md5-seeded minhashes: engines agree exactly
     "simhash_dups": ORACLE_SIMHASH,  # md5 token hashes; hamming-0 == equality
@@ -2563,7 +2461,6 @@ ORACLES: dict[str, str] = {
     "bm25_entity_boost": ORACLE_BM25_BOOST,
     "bioes_tags": ORACLE_BIOES,
     "span_f1": ORACLE_SPAN_F1,
-    "span_f1_by_label": ORACLE_SPAN_F1_BY_LABEL,
     "ensemble_spans": ORACLE_ENSEMBLE,  # 1-vote spans rejected -> exactly the islands
     "contextual_spans": ORACLE_CONTEXTUAL,  # context-region tags stripped pre-vote
     "span_f1_mention": ORACLE_SPAN_F1_MENTION,  # tp = ALL islands iff collapse runs
@@ -2571,9 +2468,8 @@ ORACLES: dict[str, str] = {
     "stratified_head": ORACLE_STRATIFIED,
     "approx_distinct": ORACLE_APPROX,  # HLL relative-error bound, not the sketch value
     "context_assembly": ORACLE_CONTEXT,
-    "crf_spans": ORACLE_ENTITY_SPANS,  # engineered emissions == gazetteer islands
+    "crf_spans": ORACLE_CRF_SPANS,  # both decoders == gazetteer islands x 2
     "windowed_crf_spans": ORACLE_WINDOWED_CRF,  # same trick, stride-windowed path
-    "posterior_spans": ORACLE_ENTITY_SPANS,  # posterior argmax == gazetteer islands
     "multimodal_context": ORACLE_MULTIMODAL,
     "pattern_flags": ORACLE_PATTERN_FLAGS,
     "tfidf_features": ORACLE_TFIDF,  # md5-hashed features: engines agree exactly

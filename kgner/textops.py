@@ -202,6 +202,39 @@ def split_keyword_cjk(text: str) -> list[str]:
     return out
 
 
+def fmm_segment(text: str, lexicon) -> list[str]:
+    """Forward-maximum-match dictionary segmentation of a han run — the
+    Python mirror of kgner.functions.text.fmm_segment_col (parity-tested);
+    the ik_max_word stand-in upgrade over char-level splitting
+    (kb/build_kb.py:17-22)."""
+    words = {w for w in lexicon if len(w) >= 2}
+    max_len = max((len(w) for w in words), default=1)
+    out: list[str] = []
+    i = 0
+    while i < len(text):
+        for length in range(min(max_len, len(text) - i), 1, -1):
+            if text[i : i + length] in words:
+                out.append(text[i : i + length])
+                i += length
+                break
+        else:
+            out.append(text[i])
+            i += 1
+    return out
+
+
+def split_keyword_cjk_dict(text: str, lexicon) -> list[str]:
+    """split_keyword_cjk with dictionary (FMM) segmentation of the CJK runs
+    — Python mirror of kgner.functions.text.tokens_col_cjk_dict."""
+    out: list[str] = []
+    for run in _CJK_RUN_RE.findall(text):
+        if re.match(r"[一-鿿]", run):
+            out.extend(fmm_segment(run, lexicon))
+        else:
+            out.append(run)
+    return out
+
+
 def nfc(text: str) -> str:
     """Pinned unicode normalization (NFC) applied exactly once at extraction."""
     return unicodedata.normalize("NFC", text)
