@@ -70,3 +70,110 @@ def test_ngram_jaccard_giant_doc_cap(spark):
     # shingles, so a 1000-cap plan must not enumerate prefixes beyond it.
     # (Behavioral proof: identical giants still match at jaccard 1.0 above
     # even though only 1000 of ~12k shingles were retained per side.)
+
+
+def test_fmm_segment_jvm_python_parity(spark):
+    """fmm_segment_col (JVM aggregate fold) must equal the Python mirror on
+    longest-match, FMM-greediness, mixed-script, U+3000 and empty inputs."""
+    from kgner.functions.text import tokens_col_cjk_dict
+    from kgner.textops import fmm_segment, split_keyword_cjk_dict
+
+    lex = ["北京", "大学", "北京大学", "京剧"]
+    cases = [
+        "北京大学在北京",       # longest match: 北京大学, not 北京+大学
+        "南北京剧团",           # FMM greediness: 南 北京 剧 团
+        "我爱北京hello world 京剧院",
+        "北京\u3000大学",       # ideographic space splits runs identically
+        "京",
+        "abc def",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    rows = df.select(
+        "s", tokens_col_cjk_dict(F.col("s"), lex).alias("t")
+    ).collect()
+    for r in rows:
+        assert list(r["t"]) == split_keyword_cjk_dict(r["s"], lex), r["s"]
+    assert fmm_segment("北京大学在北京", lex) == ["北京大学", "在", "北京"]
+    assert fmm_segment("南北京剧团", lex) == ["南", "北京", "剧", "团"]
+
+
+def test_zh_dict_retrieval_word_level_wins(spark):
+    """The ranking the char-level analyzer gets WRONG and the dictionary
+    analyzer gets right (VERDICT r4 item 3): a doc stuffed with the chars
+    北 and 京 (never adjacent) outscores the true 北京 doc under char-level
+    BM25, while dictionary segmentation only matches the true doc."""
+    from kgner.functions.text import tokens_col_cjk, tokens_col_cjk_dict
+    from kgner.operators.kbbuild import kb_index
+    from kgner.operators.retrieval import bm25_topk
+
+    lex = ["北京"]
+    pages = [
+        ("A", 0, 0, "我爱北京天安门", "p", "u://a"),
+        ("B", 0, 0, "北风京戏北风京戏北风京戏", "p", "u://b"),
+        ("C", 0, 0, "今天天气很好呀", "p", "u://c"),
+        ("D", 0, 0, "大家都去上学了", "p", "u://d"),
+    ]
+    kb_sents = spark.createDataFrame(
+        [(t, p, s, sent, para, u, "zh") for t, p, s, sent, para, u in pages],
+        "title string, p_id int, s_id int, sentence string, paragraph string,"
+        " url string, lang string",
+    )
+
+    def top_titles(zh_lexicon):
+        postings, docs = kb_index(
+            kb_sents, per_lang_analyzer=True, zh_lexicon=zh_lexicon
+        )
+        qtok = (
+            tokens_col_cjk_dict(F.lit("北京"), zh_lexicon)
+            if zh_lexicon
+            else tokens_col_cjk(F.lit("北京"))
+        )
+        queries = spark.range(1).select(
+            F.lit(0).cast("long").alias("query_id"), qtok.alias("tokens")
+        )
+        out = bm25_topk(queries, postings, docs, k=4).orderBy("rank")
+        return [r["title"] for r in out.collect()]
+
+    char_rank = top_titles(None)
+    dict_rank = top_titles(lex)
+    # char-level: the char-stuffed doc B wins the ranking (tf 3 vs 1 for
+    # both query chars) — the wrong answer
+    assert char_rank[0] == "B", char_rank
+    assert "A" in char_rank
+    # dictionary: only the doc containing the WORD 北京 matches at all
+    assert dict_rank == ["A"], dict_rank
+
+
+def test_pipeline_zh_lexicon_plumbs_query_side(spark, tmp_path):
+    """PipelineConfig.zh_lexicon reaches BOTH sides: the kb_index analyzer
+    and the query re-tokenization in _retrieval_inputs — zh query token
+    streams must contain the multi-char lexicon word as ONE token."""
+    from kgner.fixtures import build_fixtures, to_spark
+    from kgner.pipeline import Pipeline, PipelineConfig
+
+    lex = ["河流", "故事", "山谷", "港口", "桥梁"]
+    fx = build_fixtures(n_entities=10, n_pages=12, giant_pages=0)
+    t = to_spark(spark, fx)
+    cfg = PipelineConfig(
+        workdir=str(tmp_path / "wd"),
+        stages=["extracted", "sentences", "kb_sentences", "canonical"],
+        retrieval_lang_scoped=True,
+        per_lang_analyzer=True,
+        zh_lexicon=lex,
+    )
+    pipe = Pipeline(spark, cfg, t["pages"], t["kb_pages"], t["redirects"])
+    pipe.run()
+    queries, postings, docs = pipe._retrieval_inputs()
+    toks = [
+        set(r["tokens"])
+        for r in queries.filter(F.col("lang") == "zh").collect()
+    ]
+    assert toks, "fixture must contain zh sentences"
+    hit = set().union(*toks) & set(lex)
+    assert hit, "zh query tokens must contain dictionary words as units"
+    # and every emitted han token is either a lexicon word or one char
+    for s in toks:
+        for tok in s:
+            if any("一" <= c <= "鿿" for c in tok):
+                assert tok in lex or len(tok) == 1, tok
