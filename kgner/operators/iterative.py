@@ -15,6 +15,58 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# the reference applies the inter-CJK space-removal rule (replace_zh_space,
+# ensemble_prediction.py:199-213) to queries whose lang is zh or mix; this
+# is the JVM mirror of kgner.textops._ZH_SPACE_RE ((?U): Java \s is ASCII
+# by default, Python's is Unicode — U+3000 must behave identically)
+_ZH_SPACE_JVM = r"(?U)(?<=[一-鿿　-〿])\s+(?=[一-鿿　-〿])"
+_ZH_SPACE_LANGS = ("zh", "mix")
+
+
+def entity_window_queries(
+    sents: DataFrame,
+    spans: DataFrame,
+    window: int = 0,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """Window-based entity query generation for stage-2 retrieval —
+    gen_ner_based_query (/root/reference/ensemble_prediction.py:215-255):
+    one query per stage-1 entity span, built from the tokens
+    [max(0, start-window) : min(n_tokens, end+window)] around it (spans are
+    [start, end) token intervals, 0-based, end exclusive — check_span's
+    convention), clipped at sentence boundaries exactly as the reference
+    clips. Pure array ops, map-side after the (url, sent_id) equi-join.
+
+    sents: (url, sent_id, tokens[, lang]); spans: (url, sent_id, start,
+    end, ...). -> one row per span: (url, sent_id, start, end, query_text,
+    sentence_text[, lang]); query_text/sentence_text are space-joined, with
+    inter-CJK spaces removed for zh/mix rows when lang_col is given
+    (gen_sentence's replace_zh_space路由; the reference's mix->zh switch
+    only affects routing, not this rule — both langs trigger it)."""
+    keep = ["url", "sent_id", "tokens"] + ([lang_col] if lang_col else [])
+    j = spans.join(sents.select(*keep), ["url", "sent_id"])
+    n = F.size("tokens")
+    s0 = F.greatest(F.col("start") - F.lit(window), F.lit(0))
+    e0 = F.least(F.col("end") + F.lit(window), n)
+    qt = F.concat_ws(" ", F.slice("tokens", s0 + 1, e0 - s0))
+    st = F.concat_ws(" ", F.col("tokens"))
+    if lang_col:
+        is_cjk = F.col(lang_col).isin(*_ZH_SPACE_LANGS)
+        qt = F.when(is_cjk, F.regexp_replace(qt, _ZH_SPACE_JVM, "")).otherwise(qt)
+        st = F.when(is_cjk, F.regexp_replace(st, _ZH_SPACE_JVM, "")).otherwise(st)
+    out_cols = [
+        "url",
+        "sent_id",
+        "start",
+        "end",
+        qt.alias("query_text"),
+        st.alias("sentence_text"),
+    ]
+    if lang_col:
+        out_cols.append(F.col(lang_col))
+    return j.select(*out_cols)
+
+
 def iterative_retrieval(
     spark: SparkSession,
     queries: DataFrame,
@@ -25,6 +77,7 @@ def iterative_retrieval(
     title_boost: float = 2.0,
     lang_col: str | None = None,
     max_df_ratio: float | None = None,
+    query_window: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Two-round retrieval.
 
@@ -36,6 +89,13 @@ def iterative_retrieval(
     round 1 is plain BM25; mentions detected in the QUERY text against the
     alias table become per-query boost entities; round 2 re-retrieves with
     the title-boost clause, as the reference's `--with_entity` second stage.
+
+    query_window (reference `window` flag, ensemble_prediction.py:215-255):
+    when set, round 2 queries are the ±query_window-token WINDOWS around
+    the stage-1 mentions instead of the full sentences — one re-retrieval
+    per detected entity, each query re-keyed to
+    xxhash64(query_id, start, end) so multiple windows of one sentence stay
+    distinct rows; the entity boost applies to the window's own query_id.
     """
     from kgner.operators.mentions import detect_mentions
     from kgner.operators.retrieval import bm25_topk
@@ -47,15 +107,50 @@ def iterative_retrieval(
         F.col("query_id").cast("string").alias("url"),
         F.lit(0).cast("int").alias("sent_id"),
         "tokens",
+        *([lang_col] if lang_col else []),
     )
-    found = detect_mentions(spark, qsents, aliases)
+    found = detect_mentions(
+        spark, qsents.select("url", "sent_id", "tokens"), aliases
+    )
     boost = found.select(
         F.col("url").cast("long").alias("query_id"),
         F.col("entity_id").alias("entity"),
     ).distinct()
 
+    if query_window is None:
+        r2_queries, r2_boost = queries, boost
+    else:
+        # window queries inherit the parent sentence's language (qsents
+        # carries it through entity_window_queries untouched)
+        win = entity_window_queries(
+            qsents, found.select("url", "sent_id", "start", "end"),
+            window=query_window, lang_col=lang_col,
+        )
+        wq_id = F.xxhash64(F.col("url").cast("long"), "start", "end")
+        toks = F.split(F.col("query_text"), " ")
+        if lang_col:
+            # zh/mix window text had inter-CJK spaces removed (reference
+            # emits the query STRING and lets ES re-analyze server-side);
+            # here the analyzer is explicit: CJK rows re-tokenize char-level
+            from kgner.functions.text import CJK_ANALYZER_LANGS, tokens_col_cjk
+
+            toks = F.when(
+                F.col(lang_col).isin(*CJK_ANALYZER_LANGS, "mix"),
+                tokens_col_cjk(F.col("query_text")),
+            ).otherwise(toks)
+        r2_queries = win.select(
+            wq_id.alias("query_id"),
+            toks.alias("tokens"),
+            *([lang_col] if lang_col else []),
+        ).distinct()
+        r2_boost = (
+            found.select(
+                wq_id.alias("query_id"), F.col("entity_id").alias("entity")
+            ).distinct()
+        )
+
     r2 = bm25_topk(
-        queries, postings, docs, k=k, boost_entities=boost,
+        r2_queries, postings, docs, k=k, boost_entities=r2_boost,
         title_boost=title_boost, **kw
     )
     return r1, boost, r2

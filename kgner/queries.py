@@ -2458,6 +2458,68 @@ GROUP BY doc_id
 )
 
 
+def q_entity_window_queries(spark, sf_dir):
+    """Stage-2 window-based entity query generation (gen_ner_based_query,
+    /root/reference/ensemble_prediction.py:215-255): for every stage-1
+    entity span, the re-retrieval query is the ±2-token window around it,
+    clipped at sentence boundaries — kgner.operators.iterative.
+    entity_window_queries over the gazetteer spans, replayed exactly by the
+    SQL oracle's list slice."""
+    from kgner.operators.ensemble import decode_spans_udf
+    from kgner.operators.iterative import entity_window_queries
+
+    d = _t(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    sents = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).cast("int").alias("sent_id"),
+        toks.alias("tokens"),
+    )
+    spans = d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(0).cast("int").alias("sent_id"),
+        F.explode(decode_spans_udf(_gaz_bio_tags(toks))).alias("span"),
+    ).select("url", "sent_id", F.col("span.start").alias("start"),
+             F.col("span.end").alias("end"))
+    out = entity_window_queries(sents, spans, window=2)
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        (F.col("start") + 1).cast("long").alias("start_pos"),
+        (F.col("end") - F.col("start")).cast("long").alias("span_len"),
+        "query_text",
+    )
+
+
+ORACLE_ENTITY_WINDOW = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), u AS (
+  SELECT doc_id, toks, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS ord
+  FROM t
+), g AS (
+  SELECT doc_id, toks, ord,
+         ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS isl
+  FROM u WHERE tok IN {gaz}
+), spans AS (
+  -- start_pos 1-based inclusive; [s0, e0) is the reference's 0-based
+  -- end-exclusive span; window 2 extends both sides, clipped
+  SELECT doc_id, any_value(toks) AS toks,
+         min(ord) AS start_pos, count(*) AS span_len
+  FROM g GROUP BY doc_id, isl
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(span_len AS BIGINT) AS span_len,
+       array_to_string(
+         toks[greatest(start_pos - 2, 1) :
+              least(start_pos + span_len - 1 + 2, len(toks))], ' ')
+         AS query_text
+FROM spans
+""".replace("{gaz}", GAZ_SQL)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2467,6 +2529,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # dict in order — new queries and the two rows the r3/r4 files missed
     # sit FIRST so every query gets a driver row even if the cap binds
     "zh_dict_segment": q_zh_dict_segment,
+    "entity_window_queries": q_entity_window_queries,
     "cosine_near_dup": q_cosine_near_dup,
     "embedding_label_centroids": q_embedding_label_centroids,
     "pricing_summary": q_pricing_summary,
@@ -2519,6 +2582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "zh_dict_segment": ORACLE_ZH_DICT_SEGMENT,  # recursive-CTE FMM replay
+    "entity_window_queries": ORACLE_ENTITY_WINDOW,
     "cosine_near_dup": ORACLE_COSINE_NEAR_DUP,  # LSH buckets replayed in SQL
     "embedding_label_centroids": ORACLE_CENTROIDS,
     "pricing_summary": ORACLE_PRICING,

@@ -177,3 +177,96 @@ def test_pipeline_zh_lexicon_plumbs_query_side(spark, tmp_path):
         for tok in s:
             if any("一" <= c <= "鿿" for c in tok):
                 assert tok in lex or len(tok) == 1, tok
+
+
+def test_entity_window_queries_reference_semantics(spark):
+    """Window slice must mirror gen_ner_based_query exactly
+    (ensemble_prediction.py:215-255): spans [start, end) 0-based, window
+    extends BOTH sides, clipped at sentence boundaries; window=0 yields
+    exactly the entity tokens; zh/mix rows drop inter-CJK spaces."""
+    from kgner.operators.iterative import entity_window_queries
+
+    sents = spark.createDataFrame(
+        [
+            ("d1", 0, ["t0", "t1", "t2", "t3", "t4"], "en"),
+            ("d2", 0, ["我", "爱", "北", "京", "hello"], "zh"),
+        ],
+        "url string, sent_id int, tokens array<string>, lang string",
+    )
+    spans = spark.createDataFrame(
+        [
+            ("d1", 0, 1, 3),   # entity = t1 t2
+            ("d1", 0, 0, 1),   # at start boundary
+            ("d1", 0, 4, 5),   # at end boundary
+            ("d2", 0, 2, 4),   # han entity
+        ],
+        "url string, sent_id int, start int, end int",
+    )
+
+    def got(window, lang_col=None):
+        return {
+            (r["url"], r["start"], r["end"]): r["query_text"]
+            for r in entity_window_queries(
+                sents, spans, window=window, lang_col=lang_col
+            ).collect()
+        }
+
+    w0 = got(0)
+    assert w0[("d1", 1, 3)] == "t1 t2"
+    assert w0[("d1", 0, 1)] == "t0"
+    assert w0[("d1", 4, 5)] == "t4"
+
+    w2 = got(2)
+    assert w2[("d1", 1, 3)] == "t0 t1 t2 t3 t4"     # clipped both sides
+    assert w2[("d1", 0, 1)] == "t0 t1 t2"            # start clip: max(0, -2)
+    assert w2[("d1", 4, 5)] == "t2 t3 t4"            # end clip: min(n, 7)
+
+    wz = got(0, lang_col="lang")
+    assert wz[("d2", 2, 4)] == "北京"                # inter-CJK space gone
+    # window past the han run keeps the latin-boundary space
+    wz2 = got(2, lang_col="lang")
+    assert wz2[("d2", 2, 4)] == "我爱北京 hello"
+    # sentence_text carries the zh rule too
+    row = (
+        entity_window_queries(sents, spans, window=0, lang_col="lang")
+        .filter((F.col("url") == "d2"))
+        .collect()[0]
+    )
+    assert row["sentence_text"] == "我爱北京 hello"
+
+
+def test_iterative_retrieval_query_window(spark, tmp_path):
+    """query_window: round 2 runs one window query per stage-1 mention,
+    re-keyed per window, with the entity boost attached to the window's own
+    query_id."""
+    from kgner.operators.iterative import iterative_retrieval
+    from kgner.operators.kbbuild import kb_index
+
+    kb_sents = spark.createDataFrame(
+        [
+            ("River", 0, 0, "the river flows past the stone bridge", "p", "u1", "en"),
+            ("Stone", 0, 0, "a stone wall stands near the river", "p", "u2", "en"),
+            ("Sky", 0, 0, "clouds drift in the blue sky today", "p", "u3", "en"),
+        ],
+        "title string, p_id int, s_id int, sentence string, paragraph string,"
+        " url string, lang string",
+    )
+    postings, docs = kb_index(kb_sents)
+    aliases = spark.createDataFrame(
+        [("river", "River"), ("stone bridge", "Stone")],
+        "alias_norm string, canonical_id string",
+    )
+    queries = spark.createDataFrame(
+        [(7, ["the", "river", "by", "the", "stone", "bridge", "today"])],
+        "query_id long, tokens array<string>",
+    )
+    r1, boost, r2 = iterative_retrieval(
+        spark, queries, postings, docs, aliases, k=3, query_window=1
+    )
+    # stage 1 found two mentions -> two distinct window query ids in round 2
+    assert boost.count() == 2
+    r2_ids = {r["query_id"] for r in r2.select("query_id").distinct().collect()}
+    assert len(r2_ids) == 2
+    assert 7 not in r2_ids  # windows are re-keyed, not the sentence id
+    # every window query retrieved something from the 3-doc kb
+    assert r2.filter(F.col("rank") == 1).count() == 2
