@@ -82,6 +82,11 @@ def main():
     t = to_spark(spark, fx)
     t["pages"] = t["pages"].localCheckpoint()  # fixture build off the clock
 
+    # discarded warm-up (python-worker fork + codegen + parquet committer):
+    # without it the small control pays every one-time cost and the
+    # big/small ratios understate the big run
+    run_once(spark, t, n_base, 1)
+
     out = {}
     for label, pages in (("small", small), ("big", big)):
         factor = max(1, pages // n_base)
