@@ -139,12 +139,20 @@ def test_span_f1_single_plan_no_driver_actions(spark):
     # the span-decode UDF feeds both join sides from ONE checkpointed RDD:
     # no Python eval nodes re-derive it inside this plan
     assert "EvalPython" not in plan
-    # full-outer span-set compare + one aggregate, all in-plan
+    # full-outer span-set compare + one rollup aggregate, all in-plan
     assert "FullOuter" in plan
     assert "HashAggregate" in plan
-    row = df.collect()[0]
-    assert row.fp == 0 and row.tp + row.fn > 0
-    assert row.precision == 1.0
+    rows = {r["label"]: r for r in df.collect()}
+    # r5 merged shape: per-label rows + the '<ALL>' micro line over the SAME
+    # predictions (conlleval's two sections); micro = sum of label rows
+    micro = rows.pop("<ALL>")
+    assert micro.tp + micro.fn > 0
+    assert micro.fp > 0  # spurious first-token preds exist by construction
+    assert micro.tp == sum(r.tp for r in rows.values())
+    assert micro.fp == sum(r.fp for r in rows.values())
+    assert micro.fn == sum(r.fn for r in rows.values())
+    p = micro.tp / max(micro.tp + micro.fp, 1)
+    assert abs(micro.precision - round(p, 6)) < 1e-9
 
 
 # --- LSH plan size independent of dim ------------------------------------------
