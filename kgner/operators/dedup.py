@@ -82,13 +82,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """-> (doc_a, doc_b, jaccard) pairs with doc_a < doc_b, jaccard >= t.
 
-    max_doc_shingles caps each doc's DISCRIMINATIVE shingle set at its N
-    rarest shingles (same df-asc/shingle-asc total order the prefix filter
-    uses), bounded BEFORE the per-doc collect — the guard that keeps one
-    pathological giant document (a 100MB page is ~20M shingles) from
-    blowing the collect_list buffer at scale. When it binds, Jaccard is
-    computed over the capped sets on BOTH sides (sizes and intersections
-    agree), so results for normal-sized docs are unchanged. None = off."""
+    max_doc_shingles caps each doc's DISCRIMINATIVE shingle set, bounded
+    BEFORE the per-doc collect — the guard that keeps one pathological
+    giant document (a 100MB page is ~20M shingles) from blowing the
+    collect_list buffer at scale. Retention is BOTTOM-K BY CONTENT HASH
+    (md5-64 of the shingle), i.e. a deterministic uniform sample of the
+    doc's set — the bottom-k minhash estimator: two near-identical giants
+    keep nearly identical samples, so capped-set Jaccard is an unbiased
+    estimate of true Jaccard. (Rarest-first retention would instead keep
+    each doc's PRIVATE df=1 shingles and evict the shared evidence,
+    silently missing near-identical-but-not-byte-identical giants — the
+    feature's motivating case.) Results for docs under the cap are
+    unchanged. None = off."""
     # Materialize the exploded shingle frame ONCE (localCheckpoint truncates
     # lineage and is reused by all five consumers below — without it the
     # regex shingle explosion recomputes per consumer: sizes, freq, and both
@@ -126,14 +131,21 @@ def ngram_jaccard_pairs(
     # choose broadcast at small SFs from runtime stats.
     ranked = sh_b.join(freq, "shingle")
     if max_doc_shingles is not None:
-        # bound per-doc cardinality BEFORE the collect: row_number under the
-        # SAME (df, shingle) total order the prefix filter sorts by, so the
-        # kept set is each doc's max_doc_shingles rarest shingles. The
-        # window shuffles/sorts by doc_id — the groupBy below reuses that
-        # partitioning, so this adds a sort but not a second shuffle.
+        # bound per-doc cardinality BEFORE the collect: row_number under a
+        # CONTENT-HASH order (first 8 md5 bytes as unsigned, shingle
+        # tiebreak) — bottom-k sampling, identical keep-decisions for the
+        # same shingle in every doc, and replayable in the DuckDB oracle
+        # (('0x'||substr(md5(s),1,16))::UBIGINT — the cross-engine md5-64
+        # pairing used throughout the contracts). The window shuffles/sorts
+        # by doc_id — the groupBy below reuses that partitioning, so this
+        # adds a sort but not a second shuffle; the md5 only computes when
+        # the cap is enabled.
         from pyspark.sql import Window
 
-        w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        hkey = F.conv(F.substring(F.md5("shingle"), 1, 16), 16, 10).cast(
+            "decimal(20,0)"
+        )
+        w = Window.partitionBy("doc_id").orderBy(hkey, "shingle")
         ranked = (
             ranked.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= max_doc_shingles)

@@ -78,6 +78,7 @@ def iterative_retrieval(
     lang_col: str | None = None,
     max_df_ratio: float | None = None,
     query_window: int | None = None,
+    zh_lexicon=None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Two-round retrieval.
 
@@ -95,7 +96,15 @@ def iterative_retrieval(
     the stage-1 mentions instead of the full sentences — one re-retrieval
     per detected entity, each query re-keyed to
     xxhash64(query_id, start, end) so multiple windows of one sentence stay
-    distinct rows; the entity boost applies to the window's own query_id.
+    distinct rows; the entity boost applies to the window's own query_id,
+    and every round-2 row carries (parent_query_id, span_start, span_end)
+    so callers can attribute window hits back to the sentence and span
+    without re-deriving the hash.
+
+    zh_lexicon: when the KB index was built with kb_index(zh_lexicon=),
+    pass the SAME lexicon so zh/mix window queries re-tokenize with the
+    dictionary analyzer — char-level tokens cannot match multi-char
+    dictionary posting terms.
     """
     from kgner.operators.mentions import detect_mentions
     from kgner.operators.retrieval import bm25_topk
@@ -131,17 +140,34 @@ def iterative_retrieval(
         if lang_col:
             # zh/mix window text had inter-CJK spaces removed (reference
             # emits the query STRING and lets ES re-analyze server-side);
-            # here the analyzer is explicit: CJK rows re-tokenize char-level
-            from kgner.functions.text import CJK_ANALYZER_LANGS, tokens_col_cjk
+            # here the analyzer is explicit: CJK rows re-tokenize with the
+            # SAME analyzer the index used — dictionary when a lexicon was
+            # configured, char-level otherwise
+            from kgner.functions.text import (
+                CJK_ANALYZER_LANGS,
+                tokens_col_cjk,
+                tokens_col_cjk_dict,
+            )
 
+            cjk_toks = (
+                tokens_col_cjk_dict(F.col("query_text"), zh_lexicon)
+                if zh_lexicon
+                else tokens_col_cjk(F.col("query_text"))
+            )
             toks = F.when(
-                F.col(lang_col).isin(*CJK_ANALYZER_LANGS, "mix"),
-                tokens_col_cjk(F.col("query_text")),
+                F.col(lang_col).isin(*CJK_ANALYZER_LANGS, "mix"), cjk_toks
             ).otherwise(toks)
         r2_queries = win.select(
             wq_id.alias("query_id"),
             toks.alias("tokens"),
             *([lang_col] if lang_col else []),
+        ).distinct()
+        # (window-id -> sentence/span) attribution, joined back onto r2
+        win_map = win.select(
+            wq_id.alias("query_id"),
+            F.col("url").cast("long").alias("parent_query_id"),
+            F.col("start").alias("span_start"),
+            F.col("end").alias("span_end"),
         ).distinct()
         r2_boost = (
             found.select(
@@ -153,4 +179,6 @@ def iterative_retrieval(
         r2_queries, postings, docs, k=k, boost_entities=r2_boost,
         title_boost=title_boost, **kw
     )
+    if query_window is not None:
+        r2 = r2.join(F.broadcast(win_map), "query_id")
     return r1, boost, r2

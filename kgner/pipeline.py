@@ -75,6 +75,17 @@ class PipelineConfig:
         ]
     )
 
+    def __post_init__(self):
+        if self.zh_lexicon and not self.per_lang_analyzer:
+            # the lexicon only takes effect through the per-language
+            # analyzer branch on BOTH the index and query sides — a config
+            # that sets one without the other would silently whitespace-
+            # tokenize zh and ignore the dictionary the user provided
+            raise ValueError(
+                "zh_lexicon requires per_lang_analyzer=True (the dictionary "
+                "analyzer is a per-language analyzer)"
+            )
+
 
 class Pipeline:
     def __init__(

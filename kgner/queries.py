@@ -503,10 +503,11 @@ def q_ngram_jaccard(spark, sf_dir):
 # shared CTE prefix: self-doubled corpus -> blocked shingles -> pair
 # intersections. Composed (not copy-pasted) into BOTH ngram_jaccard and
 # dedup_survivors oracles so the pair semantics cannot drift apart.
-# {cap} = max_doc_shingles replay: each doc keeps its N rarest
-# discriminative shingles under the operator's (df asc, shingle asc) total
-# order — ngram_jaccard binds it at 4096 (giant-doc guard), dedup_survivors
-# leaves it effectively unbounded (operator default None)
+# {cap} = max_doc_shingles replay: each doc keeps the bottom-{cap} of its
+# discriminative shingles by content hash (first 8 md5 bytes as unsigned —
+# the operator's exact retention order, bottom-k sampling) — ngram_jaccard
+# binds it at 4096 (giant-doc guard), dedup_survivors leaves it effectively
+# unbounded (operator default None)
 NGRAM_PAIRS_PREFIX_T = r"""
 WITH d AS (
   SELECT doc_id, text FROM documents
@@ -523,7 +524,10 @@ WITH d AS (
 shb AS (
   SELECT doc_id, shingle FROM (
     SELECT sh.doc_id, sh.shingle,
-           row_number() OVER (PARTITION BY sh.doc_id ORDER BY f.df, sh.shingle) AS rk
+           row_number() OVER (
+             PARTITION BY sh.doc_id
+             ORDER BY ('0x' || substr(md5(sh.shingle), 1, 16))::UBIGINT,
+                      sh.shingle) AS rk
     FROM sh JOIN freqall f USING (shingle)
     WHERE f.df <= 1000
   ) WHERE rk <= {cap}

@@ -33,8 +33,10 @@ def test_shingle_df_counts(spark):
 def test_ngram_jaccard_giant_doc_cap(spark):
     """max_doc_shingles: one pathological giant doc must not change results
     for normal docs, the giant's per-doc set must be bounded before the
-    collect, and two identical giants must still pair up (capped sets are
-    identical on both sides)."""
+    collect, and NEAR-identical giants (the feature's motivating case) must
+    still pair up — bottom-k-by-hash retention keeps nearly identical
+    samples on both sides, where rarest-first retention would keep each
+    giant's PRIVATE shingles and miss the pair entirely."""
     from kgner.operators.dedup import ngram_jaccard_pairs
 
     normal = [
@@ -42,8 +44,16 @@ def test_ngram_jaccard_giant_doc_cap(spark):
         (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
         (3, "one two three four five six seven eight nine"),
     ]
-    giant_text = " ".join(f"tok{i % 7919} w{i}" for i in range(6000))
-    rows = normal + [(100, giant_text), (101, giant_text)]
+    words_a = [f"tok{i % 7919} w{i}" for i in range(6000)]
+    # ~1% perturbation: near-dup, NOT byte-identical (true J ~= 0.96)
+    words_b = [
+        (w if i % 100 else f"CHANGED{i}") for i, w in enumerate(words_a)
+    ]
+    rows = normal + [
+        (100, " ".join(words_a)),
+        (101, " ".join(words_b)),
+        (102, " ".join(f"other{i} z{i * 3}" for i in range(6000))),  # unrelated
+    ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
     capped = {
@@ -52,24 +62,25 @@ def test_ngram_jaccard_giant_doc_cap(spark):
             docs, n=3, threshold=0.9, max_doc_shingles=1000
         ).collect()
     }
-    # identical normal docs and identical (capped) giants both survive
+    # identical normal docs survive; near-identical giants are FOUND with
+    # high estimated jaccard even though only 1000 of ~12k shingles were
+    # retained per side (bottom-k sample concentration)
     assert capped[(1, 2)] == 1.0
-    assert capped[(100, 101)] == 1.0
+    assert (100, 101) in capped and capped[(100, 101)] >= 0.9
     assert (1, 3) not in capped
+    # the unrelated giant pairs with nothing (hash sampling must not
+    # manufacture overlap)
+    assert not any(102 in k for k in capped)
 
     # normal-doc results are IDENTICAL to the uncapped plan
     uncapped = {
         (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
         for r in ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
     }
+    assert (100, 101) in uncapped  # sanity: true near-dup pre-cap
     small = {k: v for k, v in capped.items() if k[0] < 100 and k[1] < 100}
     small_un = {k: v for k, v in uncapped.items() if k[0] < 100 and k[1] < 100}
     assert small == small_un
-
-    # the cap actually binds for the giant: its discriminative set is ~12k
-    # shingles, so a 1000-cap plan must not enumerate prefixes beyond it.
-    # (Behavioral proof: identical giants still match at jaccard 1.0 above
-    # even though only 1000 of ~12k shingles were retained per side.)
 
 
 def test_fmm_segment_jvm_python_parity(spark):
@@ -270,3 +281,7 @@ def test_iterative_retrieval_query_window(spark, tmp_path):
     assert 7 not in r2_ids  # windows are re-keyed, not the sentence id
     # every window query retrieved something from the 3-doc kb
     assert r2.filter(F.col("rank") == 1).count() == 2
+    # round-2 rows carry sentence/span attribution back to the parent query
+    att = {(r["parent_query_id"], r["span_start"], r["span_end"])
+           for r in r2.select("parent_query_id", "span_start", "span_end").collect()}
+    assert all(p == 7 for p, _, _ in att) and len(att) == 2
