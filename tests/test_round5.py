@@ -285,3 +285,14 @@ def test_iterative_retrieval_query_window(spark, tmp_path):
     att = {(r["parent_query_id"], r["span_start"], r["span_end"])
            for r in r2.select("parent_query_id", "span_start", "span_end").collect()}
     assert all(p == 7 for p, _, _ in att) and len(att) == 2
+
+
+def test_zh_dict_segment_plan_is_jvm_only(spark):
+    """The FMM fold must stay inside whole-stage codegen: no Python eval
+    nodes anywhere in the zh_dict_segment plan (the analyzer would be a
+    scale bottleneck as a UDF)."""
+    from kgner.queries import QUERIES
+
+    df = QUERIES["zh_dict_segment"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
