@@ -132,19 +132,18 @@ def ngram_jaccard_pairs(
     ranked = sh_b.join(freq, "shingle")
     if max_doc_shingles is not None:
         # bound per-doc cardinality BEFORE the collect: row_number under a
-        # CONTENT-HASH order (first 8 md5 bytes as unsigned, shingle
-        # tiebreak) — bottom-k sampling, identical keep-decisions for the
-        # same shingle in every doc, and replayable in the DuckDB oracle
-        # (('0x'||substr(md5(s),1,16))::UBIGINT — the cross-engine md5-64
-        # pairing used throughout the contracts). The window shuffles/sorts
-        # by doc_id — the groupBy below reuses that partitioning, so this
-        # adds a sort but not a second shuffle; the md5 only computes when
-        # the cap is enabled.
+        # CONTENT-HASH order (md5 hex prefix, shingle tiebreak) — bottom-k
+        # sampling, identical keep-decisions for the same shingle in every
+        # doc, and replayable in the DuckDB oracle (substr(md5(s),1,16) —
+        # both engines emit lowercase hex, and fixed-length hex STRINGS
+        # sort exactly like the unsigned value, so no decimal/UBIGINT
+        # conversion is needed; decimal ordering keys cost ~2x in hot
+        # sorts). The window shuffles/sorts by doc_id — the groupBy below
+        # reuses that partitioning, so this adds a sort but not a second
+        # shuffle; the md5 only computes when the cap is enabled.
         from pyspark.sql import Window
 
-        hkey = F.conv(F.substring(F.md5("shingle"), 1, 16), 16, 10).cast(
-            "decimal(20,0)"
-        )
+        hkey = F.substring(F.md5("shingle"), 1, 16)
         w = Window.partitionBy("doc_id").orderBy(hkey, "shingle")
         ranked = (
             ranked.withColumn("__rk", F.row_number().over(w))

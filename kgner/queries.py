@@ -504,7 +504,8 @@ def q_ngram_jaccard(spark, sf_dir):
 # intersections. Composed (not copy-pasted) into BOTH ngram_jaccard and
 # dedup_survivors oracles so the pair semantics cannot drift apart.
 # {cap} = max_doc_shingles replay: each doc keeps the bottom-{cap} of its
-# discriminative shingles by content hash (first 8 md5 bytes as unsigned —
+# discriminative shingles by content hash (md5 hex prefix as a STRING —
+# fixed-length lowercase hex sorts like the unsigned value in both engines;
 # the operator's exact retention order, bottom-k sampling) — ngram_jaccard
 # binds it at 4096 (giant-doc guard), dedup_survivors leaves it effectively
 # unbounded (operator default None)
@@ -526,8 +527,7 @@ shb AS (
     SELECT sh.doc_id, sh.shingle,
            row_number() OVER (
              PARTITION BY sh.doc_id
-             ORDER BY ('0x' || substr(md5(sh.shingle), 1, 16))::UBIGINT,
-                      sh.shingle) AS rk
+             ORDER BY substr(md5(sh.shingle), 1, 16), sh.shingle) AS rk
     FROM sh JOIN freqall f USING (shingle)
     WHERE f.df <= 1000
   ) WHERE rk <= {cap}
