@@ -193,12 +193,24 @@ def fmm_segment_col(s: Column, lexicon) -> Column:
     )
 
 
+# above this lexicon size the JVM fold's literal InSets bloat the plan
+# (real ik dictionaries are ~300k words) — switch to the Arrow-batched UDF,
+# which ships the lexicon to executors once in the closure instead
+FMM_JVM_LEXICON_MAX = 10_000
+
+
 def tokens_col_cjk_dict(sentence: Column, lexicon) -> Column:
     """CJK analyzer with DICTIONARY segmentation for han runs: han runs are
-    FMM-segmented against the lexicon (fmm_segment_col), other non-space
-    runs stay whitespace tokens — the closer ik_max_word stand-in
-    (kb/build_kb.py:17-22). With an empty lexicon this degenerates to
-    char-level tokens_col_cjk output."""
+    FMM-segmented against the lexicon, other non-space runs stay whitespace
+    tokens — the closer ik_max_word stand-in (kb/build_kb.py:17-22). With an
+    empty lexicon this degenerates to char-level tokens_col_cjk output.
+
+    Small lexica (<= FMM_JVM_LEXICON_MAX) run fully JVM-side
+    (fmm_segment_col inside the segment transform); larger ones switch to
+    the Arrow-batched UDF path (make_cjk_dict_tokens_udf) with identical
+    semantics — parity-tested across the boundary."""
+    if len(tuple(lexicon)) > FMM_JVM_LEXICON_MAX:
+        return make_cjk_dict_tokens_udf(lexicon)(sentence)
     segs = F.regexp_extract_all(sentence, F.lit(r"(?U)[一-鿿]+|[^一-鿿\s]+"), 0)
     return F.flatten(
         F.transform(
@@ -208,6 +220,52 @@ def tokens_col_cjk_dict(sentence: Column, lexicon) -> Column:
             ).otherwise(F.array(seg)),
         )
     )
+
+
+def make_cjk_dict_tokens_udf(lexicon):
+    """Arrow-batched tokens_col_cjk_dict for LARGE lexica: the word set
+    rides in the UDF closure (serialized once per executor) instead of
+    being compiled into the plan as per-length literal InSets. Same token
+    stream as the JVM path (kgner.textops.split_keyword_cjk_dict
+    semantics); use only above FMM_JVM_LEXICON_MAX — the JVM fold needs no
+    Python workers."""
+    import re
+
+    words = frozenset(w for w in lexicon if len(w) >= 2)
+    max_len = max((len(w) for w in words), default=1)
+    run_re = re.compile(r"[一-鿿]+|[^一-鿿\s]+")
+    han_re = re.compile(r"[一-鿿]")
+
+    @pandas_udf(ArrayType(StringType()))
+    def seg_udf(s: pd.Series) -> pd.Series:
+        def fmm(t):
+            out = []
+            i, n = 0, len(t)
+            while i < n:
+                for ln in range(min(max_len, n - i), 1, -1):
+                    if t[i : i + ln] in words:
+                        out.append(t[i : i + ln])
+                        i += ln
+                        break
+                else:
+                    out.append(t[i])
+                    i += 1
+            return out
+
+        def one(t):
+            if t is None:
+                return []
+            out = []
+            for run in run_re.findall(t):
+                if han_re.match(run):
+                    out.extend(fmm(run))
+                else:
+                    out.append(run)
+            return out
+
+        return s.map(one)
+
+    return seg_udf
 
 
 def subtoken_len_col(sentence: Column) -> Column:

@@ -296,3 +296,31 @@ def test_zh_dict_segment_plan_is_jvm_only(spark):
     df = QUERIES["zh_dict_segment"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_cjk_dict_udf_parity_with_jvm_path(spark):
+    """The large-lexicon Arrow UDF path must produce the SAME token stream
+    as the JVM fold (tokens_col_cjk_dict switches between them on lexicon
+    size — semantics may not drift across that boundary)."""
+    from kgner.functions.text import (
+        make_cjk_dict_tokens_udf,
+        tokens_col_cjk_dict,
+    )
+
+    lex = ["北京", "大学", "北京大学", "京剧"]
+    cases = [
+        "北京大学在北京",
+        "南北京剧团",
+        "我爱北京hello world 京剧院",
+        "北京　大学",
+        "abc def",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    rows = df.select(
+        "s",
+        tokens_col_cjk_dict(F.col("s"), lex).alias("jvm"),
+        make_cjk_dict_tokens_udf(lex)(F.col("s")).alias("udf"),
+    ).collect()
+    for r in rows:
+        assert list(r["jvm"]) == list(r["udf"]), r["s"]
