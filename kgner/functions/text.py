@@ -222,6 +222,47 @@ def tokens_col_cjk_dict(sentence: Column, lexicon) -> Column:
     )
 
 
+def tokens_col_cjk_dict_max(sentence: Column, lexicon) -> Column:
+    """ik_max_word-SEMANTICS variant: emit EVERY lexicon word occurrence in
+    each han run PLUS every han char — the multi-granularity, overlapping
+    output ik_max_word produces for recall-oriented indexing — where
+    tokens_col_cjk_dict emits ONE segmentation (FMM, ik_smart semantics).
+    Linear token order is not meaningful for overlapping hits; runs emit
+    chars-then-words (postings/df only consume the multiset). Word counts
+    via length arithmetic (len(s) - len(replace(s, w)))/len(w) — pure JVM,
+    non-overlapping occurrences of the SAME word (overlapping self-matches
+    like 'aa' in 'aaa' count once per disjoint hit, as ES's tokenizer
+    effectively does)."""
+    lex = sorted({w for w in lexicon if len(w) >= 2})
+    lex_arr = F.array(*[F.lit(w) for w in lex])
+    segs = F.regexp_extract_all(sentence, F.lit(r"(?U)[一-鿿]+|[^一-鿿\s]+"), 0)
+
+    def run_tokens(seg):
+        chars = F.regexp_extract_all(seg, F.lit(r"[一-鿿]"), 0)
+        words = F.flatten(
+            F.transform(
+                lex_arr,
+                lambda w: F.array_repeat(
+                    w,
+                    (
+                        (F.length(seg) - F.length(F.replace(seg, w)))
+                        / F.length(w)
+                    ).cast("int"),
+                ),
+            )
+        )
+        return F.concat(chars, words)
+
+    return F.flatten(
+        F.transform(
+            segs,
+            lambda seg: F.when(
+                seg.rlike("[一-鿿]"), run_tokens(seg)
+            ).otherwise(F.array(seg)),
+        )
+    )
+
+
 def make_cjk_dict_tokens_udf(lexicon):
     """Arrow-batched tokens_col_cjk_dict for LARGE lexica: the word set
     rides in the UDF closure (serialized once per executor) instead of

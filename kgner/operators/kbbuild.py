@@ -84,6 +84,7 @@ def kb_index(
     kb_sents: DataFrame,
     per_lang_analyzer: bool = False,
     zh_lexicon=None,
+    zh_dict_mode: str = "smart",
 ) -> tuple[DataFrame, DataFrame]:
     """kb_sentences -> (postings(term, doc_id, tf), docs(doc_id, len, title,
     url, sentence, paragraph)).
@@ -106,16 +107,29 @@ def kb_index(
 
     zh_lexicon (with per_lang_analyzer=True) upgrades the zh analyzer from
     char-level to DICTIONARY segmentation: zh docs' han runs are
-    forward-maximum-matched against the lexicon (tokens_col_cjk_dict — the
-    faithful ik_max_word stand-in; the reference gives ONLY zh the ik
-    analyzer, kb/build_kb.py:17-22, so ja/ko stay char-level). The query
-    side must use the SAME lexicon (PipelineConfig.zh_lexicon plumbs both).
+    forward-maximum-matched against the lexicon (the reference gives ONLY zh
+    the ik analyzer, kb/build_kb.py:17-22, so ja/ko stay char-level). The
+    query side must use the SAME lexicon (PipelineConfig.zh_lexicon plumbs
+    both). zh_dict_mode picks the ik flavor: "smart" = one FMM segmentation
+    per run (ik_smart, tokens_col_cjk_dict — also the right QUERY-side
+    analyzer); "max_word" = every word occurrence + every char,
+    multi-granularity overlapping output (ik_max_word,
+    tokens_col_cjk_dict_max — the reference indexes with ik_max_word and
+    queries with ik_smart, the standard ES pairing).
     """
+    if zh_dict_mode not in ("smart", "max_word"):
+        raise ValueError(f"zh_dict_mode must be smart|max_word, got {zh_dict_mode}")
     if per_lang_analyzer:
         from kgner.functions.text import (
             CJK_ANALYZER_LANGS,
             tokens_col_cjk,
             tokens_col_cjk_dict,
+            tokens_col_cjk_dict_max,
+        )
+
+        dict_tok = (
+            tokens_col_cjk_dict_max if zh_dict_mode == "max_word"
+            else tokens_col_cjk_dict
         )
 
         def tok(col):
@@ -124,7 +138,7 @@ def kb_index(
             ).otherwise(tokens_col(col))
             if zh_lexicon:
                 return F.when(
-                    F.col("lang") == "zh", tokens_col_cjk_dict(col, zh_lexicon)
+                    F.col("lang") == "zh", dict_tok(col, zh_lexicon)
                 ).otherwise(cjk)
             return cjk
 

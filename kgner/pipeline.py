@@ -64,6 +64,11 @@ class PipelineConfig:
     # docs AND zh queries segment han runs against this lexicon instead of
     # char-level. None keeps char-level zh.
     zh_lexicon: list[str] | None = None
+    # ik flavor for the zh INDEX side: "smart" (one FMM segmentation) or
+    # "max_word" (every word occurrence + every char, the reference's
+    # index-side analyzer). Queries always use ik_smart (FMM) — the
+    # standard ES max_word-index/smart-query pairing.
+    zh_dict_mode: str = "smart"
     stages: list[str] = field(
         default_factory=lambda: [
             "extracted",
@@ -84,6 +89,10 @@ class PipelineConfig:
             raise ValueError(
                 "zh_lexicon requires per_lang_analyzer=True (the dictionary "
                 "analyzer is a per-language analyzer)"
+            )
+        if self.zh_dict_mode not in ("smart", "max_word"):
+            raise ValueError(
+                f"zh_dict_mode must be smart|max_word, got {self.zh_dict_mode}"
             )
 
 
@@ -262,6 +271,7 @@ class Pipeline:
             kb_sents,
             per_lang_analyzer=self.cfg.per_lang_analyzer,
             zh_lexicon=self.cfg.zh_lexicon,
+            zh_dict_mode=self.cfg.zh_dict_mode,
         )
         sents = self._read("sentences")
         # same NULL-lang sentinel as kb_index (shared UND_LANG constant):

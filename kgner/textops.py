@@ -235,6 +235,22 @@ def split_keyword_cjk_dict(text: str, lexicon) -> list[str]:
     return out
 
 
+def split_keyword_cjk_dict_max(text: str, lexicon) -> list[str]:
+    """ik_max_word-semantics mirror of tokens_col_cjk_dict_max: per han run,
+    every char plus every (non-overlapping) lexicon word occurrence —
+    multi-granularity overlapping token multiset."""
+    words = sorted({w for w in lexicon if len(w) >= 2})
+    out: list[str] = []
+    for run in _CJK_RUN_RE.findall(text):
+        if re.match(r"[一-鿿]", run):
+            out.extend(run)
+            for w in words:
+                out.extend([w] * run.count(w))
+        else:
+            out.append(run)
+    return out
+
+
 def nfc(text: str) -> str:
     """Pinned unicode normalization (NFC) applied exactly once at extraction."""
     return unicodedata.normalize("NFC", text)

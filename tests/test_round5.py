@@ -324,3 +324,41 @@ def test_cjk_dict_udf_parity_with_jvm_path(spark):
     ).collect()
     for r in rows:
         assert list(r["jvm"]) == list(r["udf"]), r["s"]
+
+
+def test_cjk_dict_max_word_mode(spark):
+    """ik_max_word semantics: every char + every lexicon word occurrence
+    (overlapping words both emitted), JVM column == Python mirror; and
+    kb_index(zh_dict_mode='max_word') postings carry BOTH overlapping words
+    while smart mode carries only the FMM winner."""
+    from kgner.functions.text import tokens_col_cjk_dict_max
+    from kgner.operators.kbbuild import kb_index
+    from kgner.textops import split_keyword_cjk_dict_max
+
+    lex = ["北京", "京剧", "大学"]
+    cases = ["南北京剧团", "北京大学 hello 北京", ""]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    rows = df.select(
+        "s", tokens_col_cjk_dict_max(F.col("s"), lex).alias("t")
+    ).collect()
+    for r in rows:
+        assert sorted(r["t"]) == sorted(split_keyword_cjk_dict_max(r["s"], lex)), r["s"]
+    # overlapping 北京 and 京剧 BOTH emitted (FMM would pick only 北京)
+    got = sorted(rows[0]["t"])
+    assert got.count("北京") == 1 and got.count("京剧") == 1
+
+    kb_sents = spark.createDataFrame(
+        [("T", 0, 0, "南北京剧团", "p", "u", "zh")],
+        "title string, p_id int, s_id int, sentence string, paragraph string,"
+        " url string, lang string",
+    )
+    def terms(mode):
+        postings, _ = kb_index(
+            kb_sents, per_lang_analyzer=True, zh_lexicon=lex, zh_dict_mode=mode
+        )
+        return {r["term"] for r in postings.collect()}
+
+    mx, sm = terms("max_word"), terms("smart")
+    assert {"北京", "京剧"} <= mx          # both granularities indexed
+    assert "京剧" not in sm and "北京" in sm  # FMM picked one segmentation
+    assert {"南", "剧", "团"} <= mx          # chars always present in max mode
