@@ -232,8 +232,19 @@ def tokens_col_cjk_dict_max(sentence: Column, lexicon) -> Column:
     via length arithmetic (len(s) - len(replace(s, w)))/len(w) — pure JVM,
     non-overlapping occurrences of the SAME word (overlapping self-matches
     like 'aa' in 'aaa' count once per disjoint hit, as ES's tokenizer
-    effectively does)."""
+    effectively does).
+
+    The JVM form is O(|lexicon|) PER ROW (one replace per word), fine for
+    boutique lexica; above FMM_JVM_LEXICON_MAX it switches to the
+    position-scan Arrow UDF (make_cjk_dict_max_tokens_udf), whose cost is
+    O(run_len * max_word_len) independent of lexicon size — the
+    Aho-Corasick-shaped path a 300k-word ik dictionary needs. (Edge: the
+    scan counts SELF-overlapping repeats of one word per position; real zh
+    words are not self-periodic, so the two paths agree in practice —
+    parity-tested.)"""
     lex = sorted({w for w in lexicon if len(w) >= 2})
+    if len(lex) > FMM_JVM_LEXICON_MAX:
+        return make_cjk_dict_max_tokens_udf(lexicon)(sentence)
     lex_arr = F.array(*[F.lit(w) for w in lex])
     segs = F.regexp_extract_all(sentence, F.lit(r"(?U)[一-鿿]+|[^一-鿿\s]+"), 0)
 
@@ -261,6 +272,47 @@ def tokens_col_cjk_dict_max(sentence: Column, lexicon) -> Column:
             ).otherwise(F.array(seg)),
         )
     )
+
+
+def make_cjk_dict_max_tokens_udf(lexicon):
+    """Arrow-batched ik_max_word for LARGE lexica: per han run emit every
+    char plus every lexicon word matching at every position (set-membership
+    scan, O(run_len * max_word_len) regardless of lexicon size). Pairs with
+    tokens_col_cjk_dict_max the way make_cjk_dict_tokens_udf pairs with the
+    JVM FMM fold."""
+    import re
+
+    words = frozenset(w for w in lexicon if len(w) >= 2)
+    max_len = max((len(w) for w in words), default=1)
+    run_re = re.compile(r"[一-鿿]+|[^一-鿿\s]+")
+    han_re = re.compile(r"[一-鿿]")
+
+    @pandas_udf(ArrayType(StringType()))
+    def seg_udf(s: pd.Series) -> pd.Series:
+        def scan(t):
+            out = list(t)  # every char
+            n = len(t)
+            for i in range(n):
+                for ln in range(2, min(max_len, n - i) + 1):
+                    w = t[i : i + ln]
+                    if w in words:
+                        out.append(w)
+            return out
+
+        def one(t):
+            if t is None:
+                return []
+            out = []
+            for run in run_re.findall(t):
+                if han_re.match(run):
+                    out.extend(scan(run))
+                else:
+                    out.append(run)
+            return out
+
+        return s.map(one)
+
+    return seg_udf
 
 
 def make_cjk_dict_tokens_udf(lexicon):

@@ -180,5 +180,9 @@ def iterative_retrieval(
         title_boost=title_boost, **kw
     )
     if query_window is not None:
-        r2 = r2.join(F.broadcast(win_map), "query_id")
+        # NO forced broadcast: win_map has one row per stage-1 mention,
+        # which at web scale is far beyond broadcast size; both sides are
+        # keyed on query_id, so this is a co-keyed join AQE can still
+        # broadcast at small scale from runtime stats
+        r2 = r2.join(win_map, "query_id")
     return r1, boost, r2

@@ -362,3 +362,23 @@ def test_cjk_dict_max_word_mode(spark):
     assert {"北京", "京剧"} <= mx          # both granularities indexed
     assert "京剧" not in sm and "北京" in sm  # FMM picked one segmentation
     assert {"南", "剧", "团"} <= mx          # chars always present in max mode
+
+
+def test_cjk_dict_max_udf_parity(spark):
+    """Scan-UDF max_word path must produce the same token MULTISET as the
+    JVM length-arithmetic path for non-self-periodic words (real zh)."""
+    from kgner.functions.text import (
+        make_cjk_dict_max_tokens_udf,
+        tokens_col_cjk_dict_max,
+    )
+
+    lex = ["北京", "京剧", "大学"]
+    cases = ["南北京剧团", "北京大学 hello 北京大学", ""]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    rows = df.select(
+        "s",
+        tokens_col_cjk_dict_max(F.col("s"), lex).alias("jvm"),
+        make_cjk_dict_max_tokens_udf(lex)(F.col("s")).alias("udf"),
+    ).collect()
+    for r in rows:
+        assert sorted(r["jvm"]) == sorted(r["udf"]), r["s"]
