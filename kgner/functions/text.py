@@ -196,27 +196,42 @@ def fmm_segment_col(s: Column, lexicon) -> Column:
 # above this lexicon size the JVM fold's literal InSets bloat the plan
 # (real ik dictionaries are ~300k words) — switch to the Arrow-batched UDF,
 # which ships the lexicon to executors once in the closure instead
+# above this lexicon size the JVM FMM fold's literal InSets bloat the plan
+# (real ik dictionaries are ~300k words) — switch to the Arrow-batched UDF,
+# which ships the lexicon to executors once in the closure instead
 FMM_JVM_LEXICON_MAX = 10_000
+# the max_word JVM form is O(|lexicon|) REPLACE CALLS per han run (a very
+# different cost model from the InSet probe above), so its JVM cutoff is
+# far lower; above it the position-scan UDF is the right path
+MAXWORD_JVM_LEXICON_MAX = 256
+
+
+def _clean_lex(lexicon) -> list[str]:
+    """Normalize ONCE up front (sorted, deduped, multi-char only) so one-shot
+    iterables can't be silently half-consumed by a size check and then seen
+    empty by the segmenter."""
+    return sorted({w for w in lexicon if len(w) >= 2})
 
 
 def tokens_col_cjk_dict(sentence: Column, lexicon) -> Column:
     """CJK analyzer with DICTIONARY segmentation for han runs: han runs are
     FMM-segmented against the lexicon, other non-space runs stay whitespace
-    tokens — the closer ik_max_word stand-in (kb/build_kb.py:17-22). With an
-    empty lexicon this degenerates to char-level tokens_col_cjk output.
+    tokens — the ik_smart stand-in (kb/build_kb.py:17-22). With an empty
+    lexicon this degenerates to char-level tokens_col_cjk output.
 
     Small lexica (<= FMM_JVM_LEXICON_MAX) run fully JVM-side
     (fmm_segment_col inside the segment transform); larger ones switch to
     the Arrow-batched UDF path (make_cjk_dict_tokens_udf) with identical
     semantics — parity-tested across the boundary."""
-    if len(tuple(lexicon)) > FMM_JVM_LEXICON_MAX:
-        return make_cjk_dict_tokens_udf(lexicon)(sentence)
+    lex = _clean_lex(lexicon)
+    if len(lex) > FMM_JVM_LEXICON_MAX:
+        return make_cjk_dict_tokens_udf(lex)(sentence)
     segs = F.regexp_extract_all(sentence, F.lit(r"(?U)[一-鿿]+|[^一-鿿\s]+"), 0)
     return F.flatten(
         F.transform(
             segs,
             lambda seg: F.when(
-                seg.rlike("[一-鿿]"), fmm_segment_col(seg, lexicon)
+                seg.rlike("[一-鿿]"), fmm_segment_col(seg, lex)
             ).otherwise(F.array(seg)),
         )
     )
@@ -229,22 +244,18 @@ def tokens_col_cjk_dict_max(sentence: Column, lexicon) -> Column:
     tokens_col_cjk_dict emits ONE segmentation (FMM, ik_smart semantics).
     Linear token order is not meaningful for overlapping hits; runs emit
     chars-then-words (postings/df only consume the multiset). Word counts
-    via length arithmetic (len(s) - len(replace(s, w)))/len(w) — pure JVM,
-    non-overlapping occurrences of the SAME word (overlapping self-matches
-    like 'aa' in 'aaa' count once per disjoint hit, as ES's tokenizer
-    effectively does).
+    are NON-OVERLAPPING per word (left-to-right greedy — str.count /
+    replace-arithmetic semantics; 哈哈 in 哈哈哈 counts once), identical on
+    the JVM and UDF paths.
 
-    The JVM form is O(|lexicon|) PER ROW (one replace per word), fine for
-    boutique lexica; above FMM_JVM_LEXICON_MAX it switches to the
-    position-scan Arrow UDF (make_cjk_dict_max_tokens_udf), whose cost is
-    O(run_len * max_word_len) independent of lexicon size — the
-    Aho-Corasick-shaped path a 300k-word ik dictionary needs. (Edge: the
-    scan counts SELF-overlapping repeats of one word per position; real zh
-    words are not self-periodic, so the two paths agree in practice —
-    parity-tested.)"""
-    lex = sorted({w for w in lexicon if len(w) >= 2})
-    if len(lex) > FMM_JVM_LEXICON_MAX:
-        return make_cjk_dict_max_tokens_udf(lexicon)(sentence)
+    The JVM form costs O(|lexicon|) full-run replace calls per han run, so
+    its cutoff (MAXWORD_JVM_LEXICON_MAX) is far lower than the FMM fold's;
+    above it the position-scan Arrow UDF (make_cjk_dict_max_tokens_udf,
+    O(run_len * max_word_len) independent of lexicon size) takes over —
+    the path an ik-scale 300k-word dictionary needs."""
+    lex = _clean_lex(lexicon)
+    if len(lex) > MAXWORD_JVM_LEXICON_MAX:
+        return make_cjk_dict_max_tokens_udf(lex)(sentence)
     lex_arr = F.array(*[F.lit(w) for w in lex])
     segs = F.regexp_extract_all(sentence, F.lit(r"(?U)[一-鿿]+|[^一-鿿\s]+"), 0)
 
@@ -274,38 +285,38 @@ def tokens_col_cjk_dict_max(sentence: Column, lexicon) -> Column:
     )
 
 
-def make_cjk_dict_max_tokens_udf(lexicon):
-    """Arrow-batched ik_max_word for LARGE lexica: per han run emit every
-    char plus every lexicon word matching at every position (set-membership
-    scan, O(run_len * max_word_len) regardless of lexicon size). Pairs with
-    tokens_col_cjk_dict_max the way make_cjk_dict_tokens_udf pairs with the
-    JVM FMM fold."""
-    import re
+# Python twins of the JVM analyzer regexes, shared by both UDF factories —
+# keep in lockstep with the (?U) JVM patterns above (Python \s is already
+# Unicode-aware, so no flag is needed here)
+_RUN_RE_PY = None
+_HAN_RE_PY = None
 
-    words = frozenset(w for w in lexicon if len(w) >= 2)
-    max_len = max((len(w) for w in words), default=1)
-    run_re = re.compile(r"[一-鿿]+|[^一-鿿\s]+")
-    han_re = re.compile(r"[一-鿿]")
+
+def _run_res():
+    global _RUN_RE_PY, _HAN_RE_PY
+    if _RUN_RE_PY is None:
+        import re
+
+        _RUN_RE_PY = re.compile(r"[一-鿿]+|[^一-鿿\s]+")
+        _HAN_RE_PY = re.compile(r"[一-鿿]")
+    return _RUN_RE_PY, _HAN_RE_PY
+
+
+def _make_run_dispatch_udf(scan_fn):
+    """Shared scaffolding for the large-lexicon analyzers: split a sentence
+    into han / non-han runs, apply scan_fn to han runs, pass other runs
+    through — one Arrow-batched UDF."""
+    run_re, han_re = _run_res()
 
     @pandas_udf(ArrayType(StringType()))
     def seg_udf(s: pd.Series) -> pd.Series:
-        def scan(t):
-            out = list(t)  # every char
-            n = len(t)
-            for i in range(n):
-                for ln in range(2, min(max_len, n - i) + 1):
-                    w = t[i : i + ln]
-                    if w in words:
-                        out.append(w)
-            return out
-
         def one(t):
             if t is None:
                 return []
             out = []
             for run in run_re.findall(t):
                 if han_re.match(run):
-                    out.extend(scan(run))
+                    out.extend(scan_fn(run))
                 else:
                     out.append(run)
             return out
@@ -316,49 +327,55 @@ def make_cjk_dict_max_tokens_udf(lexicon):
 
 
 def make_cjk_dict_tokens_udf(lexicon):
-    """Arrow-batched tokens_col_cjk_dict for LARGE lexica: the word set
-    rides in the UDF closure (serialized once per executor) instead of
-    being compiled into the plan as per-length literal InSets. Same token
-    stream as the JVM path (kgner.textops.split_keyword_cjk_dict
-    semantics); use only above FMM_JVM_LEXICON_MAX — the JVM fold needs no
-    Python workers."""
-    import re
-
-    words = frozenset(w for w in lexicon if len(w) >= 2)
+    """Arrow-batched FMM (ik_smart) for LARGE lexica: the word set rides in
+    the UDF closure (serialized once per executor) instead of being
+    compiled into the plan as per-length literal InSets. Same token stream
+    as the JVM fold (kgner.textops.fmm_segment semantics, parity-tested);
+    use only above FMM_JVM_LEXICON_MAX — the JVM fold needs no Python
+    workers."""
+    words = frozenset(_clean_lex(lexicon))
     max_len = max((len(w) for w in words), default=1)
-    run_re = re.compile(r"[一-鿿]+|[^一-鿿\s]+")
-    han_re = re.compile(r"[一-鿿]")
 
-    @pandas_udf(ArrayType(StringType()))
-    def seg_udf(s: pd.Series) -> pd.Series:
-        def fmm(t):
-            out = []
-            i, n = 0, len(t)
-            while i < n:
-                for ln in range(min(max_len, n - i), 1, -1):
-                    if t[i : i + ln] in words:
-                        out.append(t[i : i + ln])
-                        i += ln
-                        break
-                else:
-                    out.append(t[i])
-                    i += 1
-            return out
+    def fmm(t):
+        out = []
+        i, n = 0, len(t)
+        while i < n:
+            for ln in range(min(max_len, n - i), 1, -1):
+                if t[i : i + ln] in words:
+                    out.append(t[i : i + ln])
+                    i += ln
+                    break
+            else:
+                out.append(t[i])
+                i += 1
+        return out
 
-        def one(t):
-            if t is None:
-                return []
-            out = []
-            for run in run_re.findall(t):
-                if han_re.match(run):
-                    out.extend(fmm(run))
-                else:
-                    out.append(run)
-            return out
+    return _make_run_dispatch_udf(fmm)
 
-        return s.map(one)
 
-    return seg_udf
+def make_cjk_dict_max_tokens_udf(lexicon):
+    """Arrow-batched ik_max_word for LARGE lexica: per han run emit every
+    char plus every lexicon word's NON-OVERLAPPING occurrences (set-
+    membership scan with a per-word next-allowed cursor — exactly
+    str.count / JVM replace-arithmetic semantics, so the multiset matches
+    the JVM path even for self-periodic words like 哈哈). Cost
+    O(run_len * max_word_len) regardless of lexicon size."""
+    words = frozenset(_clean_lex(lexicon))
+    max_len = max((len(w) for w in words), default=1)
+
+    def scan(t):
+        out = list(t)  # every char
+        n = len(t)
+        next_ok: dict = {}
+        for i in range(n):
+            for ln in range(2, min(max_len, n - i) + 1):
+                w = t[i : i + ln]
+                if w in words and i >= next_ok.get(w, 0):
+                    out.append(w)
+                    next_ok[w] = i + ln
+        return out
+
+    return _make_run_dispatch_udf(scan)
 
 
 def subtoken_len_col(sentence: Column) -> Column:

@@ -140,23 +140,29 @@ def iterative_retrieval(
         if lang_col:
             # zh/mix window text had inter-CJK spaces removed (reference
             # emits the query STRING and lets ES re-analyze server-side);
-            # here the analyzer is explicit: CJK rows re-tokenize with the
-            # SAME analyzer the index used — dictionary when a lexicon was
-            # configured, char-level otherwise
+            # here the analyzer is explicit and must mirror kb_index's
+            # ROUTING exactly: the dictionary applies to zh (and mix, the
+            # reference's zh-containing mode) ONLY — ja/ko stay char-level,
+            # because kb_index indexed them char-level and multi-char
+            # dictionary query terms would match zero of their postings.
+            # NULL-mask non-dict rows into the analyzer (Arrow UDF for
+            # large lexica is evaluated per-row regardless of the branch).
             from kgner.functions.text import (
                 CJK_ANALYZER_LANGS,
                 tokens_col_cjk,
                 tokens_col_cjk_dict,
             )
 
-            cjk_toks = (
-                tokens_col_cjk_dict(F.col("query_text"), zh_lexicon)
-                if zh_lexicon
-                else tokens_col_cjk(F.col("query_text"))
-            )
+            char_toks = tokens_col_cjk(F.col("query_text"))
             toks = F.when(
-                F.col(lang_col).isin(*CJK_ANALYZER_LANGS, "mix"), cjk_toks
+                F.col(lang_col).isin(*CJK_ANALYZER_LANGS, "mix"), char_toks
             ).otherwise(toks)
+            if zh_lexicon:
+                is_zh = F.col(lang_col).isin("zh", "mix")
+                masked = F.when(is_zh, F.col("query_text"))
+                toks = F.when(
+                    is_zh, tokens_col_cjk_dict(masked, zh_lexicon)
+                ).otherwise(toks)
         r2_queries = win.select(
             wq_id.alias("query_id"),
             toks.alias("tokens"),

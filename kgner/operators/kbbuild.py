@@ -137,8 +137,17 @@ def kb_index(
                 F.col("lang").isin(*CJK_ANALYZER_LANGS), tokens_col_cjk(col)
             ).otherwise(tokens_col(col))
             if zh_lexicon:
+                # NULL-mask the non-zh rows INTO the analyzer: with a large
+                # lexicon dict_tok is an Arrow UDF, and Catalyst extracts
+                # PythonUDFs out of the when-branch into an eval node run
+                # for EVERY row — masking makes the 95%-non-zh payload null
+                # (trivial Arrow bytes + instant Python return) instead of
+                # shipping all sentences through Python for a discarded
+                # result. JVM-path behavior is unchanged (NULL in -> NULL
+                # out, branch unused).
+                masked = F.when(F.col("lang") == "zh", col)
                 return F.when(
-                    F.col("lang") == "zh", dict_tok(col, zh_lexicon)
+                    F.col("lang") == "zh", dict_tok(masked, zh_lexicon)
                 ).otherwise(cjk)
             return cjk
 

@@ -94,6 +94,10 @@ class PipelineConfig:
             raise ValueError(
                 f"zh_dict_mode must be smart|max_word, got {self.zh_dict_mode}"
             )
+        if self.zh_dict_mode != "smart" and not self.zh_lexicon:
+            # a non-default ik flavor without a dictionary would silently
+            # index char-level — same misconfiguration class as above
+            raise ValueError("zh_dict_mode='max_word' requires zh_lexicon")
 
 
 class Pipeline:
@@ -299,10 +303,13 @@ class Pipeline:
                 tokens_col_cjk(F.col("sentence")),
             ).otherwise(F.col("tokens"))
             if self.cfg.zh_lexicon:
-                # zh queries segment with the SAME dictionary as the index
+                # zh queries segment with the SAME dictionary as the index;
+                # NULL-mask non-zh rows so a large-lexicon Arrow UDF never
+                # pays Python cost for rows whose branch discards it
+                masked = F.when(F.col("lang") == "zh", F.col("sentence"))
                 qtok = F.when(
                     F.col("lang") == "zh",
-                    tokens_col_cjk_dict(F.col("sentence"), self.cfg.zh_lexicon),
+                    tokens_col_cjk_dict(masked, self.cfg.zh_lexicon),
                 ).otherwise(qtok)
         else:
             qtok = F.col("tokens")

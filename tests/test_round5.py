@@ -382,3 +382,34 @@ def test_cjk_dict_max_udf_parity(spark):
     ).collect()
     for r in rows:
         assert sorted(r["jvm"]) == sorted(r["udf"]), r["s"]
+
+
+def test_cjk_dict_max_self_periodic_and_generators(spark):
+    """Review regressions: (a) self-periodic lexicon words (哈哈 in 哈哈哈)
+    must count NON-overlapping on BOTH max_word paths (JVM replace
+    arithmetic == scan UDF with per-word cursor); (b) one-shot iterable
+    lexica must not be silently half-consumed into char-level output."""
+    from kgner.functions.text import (
+        make_cjk_dict_max_tokens_udf,
+        tokens_col_cjk_dict,
+        tokens_col_cjk_dict_max,
+    )
+
+    lex = ["哈哈", "天天"]
+    df = spark.createDataFrame([("哈哈哈",), ("天天天天",)], "s string")
+    rows = df.select(
+        "s",
+        tokens_col_cjk_dict_max(F.col("s"), lex).alias("jvm"),
+        make_cjk_dict_max_tokens_udf(lex)(F.col("s")).alias("udf"),
+    ).collect()
+    for r in rows:
+        assert sorted(r["jvm"]) == sorted(r["udf"]), (r["s"], r["jvm"], r["udf"])
+    by_s = {r["s"]: sorted(r["jvm"]) for r in rows}
+    assert by_s["哈哈哈"].count("哈哈") == 1      # non-overlapping
+    assert by_s["天天天天"].count("天天") == 2
+
+    # generator lexicon: both entry points must see the full lexicon
+    out = df.select(
+        tokens_col_cjk_dict(F.col("s"), (w for w in ["哈哈"])).alias("t")
+    ).collect()
+    assert ["哈哈", "哈"] == list(out[0]["t"])
