@@ -46,11 +46,8 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def shingle_df(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """-> (doc_id, shingle) distinct word-n-gram shingles per doc (JVM-side:
-    split + transform + explode, no Python).
+def _shingle_arr(text_col: str, n: int):
+    """Column expr: the doc's DISTINCT word-n-gram shingle array.
 
     Tokenizes with ONE regex pass (split on \\s+ after a space-only trim)
     — the DuckDB oracles replay this exact form (including the '' edge
@@ -58,7 +55,7 @@ def shingle_df(
     it skips the old regexp_replace normalize pass over the full text
     (~25% of shingling cost at sf0.1)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    sh = F.when(
+    return F.when(
         F.size(toks) < n, F.array(F.concat_ws(" ", toks))
     ).otherwise(
         F.array_distinct(
@@ -68,7 +65,33 @@ def shingle_df(
             )
         )
     )
-    return docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+
+
+def shingle_arrays(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, arr0 array<string>) distinct shingles per doc, one row per
+    doc — the compact form consumers cache: re-exploding a cached array
+    column is pure row expansion, while caching the exploded rows pays
+    per-row overhead on millions of rows (measured ~7 s vs ~1 s for the 5.2M
+    shingles of the sf1.0 bench corpus)."""
+    from kgner.operators.partitioning import spread_scan
+
+    # single-file inputs would run the whole explosion on 1-2 cores (§2.5)
+    docs = spread_scan(docs, id_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _shingle_arr(text_col, n).alias("arr0")
+    )
+
+
+def shingle_df(
+    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """-> (doc_id, shingle) distinct word-n-gram shingles per doc (JVM-side:
+    split + transform + explode, no Python)."""
+    return shingle_arrays(docs, n, id_col, text_col).select(
+        "doc_id", F.explode("arr0").alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -94,25 +117,22 @@ def ngram_jaccard_pairs(
     silently missing near-identical-but-not-byte-identical giants — the
     feature's motivating case.) Results for docs under the cap are
     unchanged. None = off."""
-    # Materialize the exploded shingle frame ONCE (localCheckpoint truncates
-    # lineage and is reused by all five consumers below — without it the
-    # regex shingle explosion recomputes per consumer: sizes, freq, and both
-    # sides of the self-join).
-    sh = shingle_df(docs, n, id_col, text_col).localCheckpoint(eager=False)
+    # Materialize the per-doc shingle ARRAYS once (one skinny row per doc —
+    # the regex tokenize + n-gram string build happens exactly once), then
+    # re-derive the exploded view per consumer: exploding a cached array
+    # column is pure row expansion, far cheaper than caching the exploded
+    # rows themselves (per-row overhead on millions of tiny rows dominated
+    # the old checkpoint's cost).
+    doc_arr = shingle_arrays(docs, n, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    sh = doc_arr.select("doc_id", F.explode("arr0").alias("shingle"))
     # blocking: drop shingles too frequent to be discriminative (skew guard).
     # Sizes are computed on the SAME filtered set as the intersection — i.e.
     # Jaccard over the discriminative-shingle space (stopword-removal
     # semantics) — else boilerplate-heavy duplicates would be missed because
     # inter shrinks while na/nb stay full.
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # no checkpoint on sh_b: doc_sets below is its ONLY consumer and is
-    # itself checkpointed, so materializing the blocked shingles would just
-    # write 500k+ rows a third time
-    sh_b = sh.join(
-        F.broadcast(freq.filter(F.col("df") > max_shingle_df).select("shingle")),
-        "shingle",
-        "left_anti",
-    )
     # PREFIX FILTERING (SSJoin / AllPairs): sort each doc's shingles in ONE
     # global total order (df asc, shingle asc — rarest first) and generate
     # candidates only from each doc's PREFIX of length |d| - ceil(t*|d|) + 1.
@@ -125,11 +145,13 @@ def ngram_jaccard_pairs(
     # to shares-the-rarest-shingle (~10k), the dominant cost of the old
     # enumerate-all-pairs plan. Verification joins are keyed on the (few)
     # candidate doc_ids, with the per-doc shingle arrays collected once.
-    # NO broadcast on freq: it is vocabulary-sized (the blocking drop-set
-    # broadcast above is tiny, this is the full df table). Both sides are
-    # keyed on shingle, so this is a co-keyed shuffle join; AQE may still
-    # choose broadcast at small SFs from runtime stats.
-    ranked = sh_b.join(freq, "shingle")
+    # Blocking + df attach in ONE inner join: joining the df<=max filtered
+    # freq table both drops the over-frequent shingles (the old broadcast
+    # anti-join pass) and attaches df — one pass over sh instead of two.
+    # NO broadcast on freq: it is vocabulary-sized. Both sides are keyed on
+    # shingle, so this is a co-keyed shuffle join; AQE may still choose
+    # broadcast at small SFs from runtime stats.
+    ranked = sh.join(freq.filter(F.col("df") <= max_shingle_df), "shingle")
     if max_doc_shingles is not None:
         # bound per-doc cardinality BEFORE the collect: row_number under a
         # CONTENT-HASH order (md5 hex prefix, shingle tiebreak) — bottom-k
@@ -203,6 +225,9 @@ def ngram_jaccard_pairs(
         F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"),
         F.col("n_sh").alias("nb"),
     )
+    # cands is id pairs only; deliberately NOT force-broadcast (candidate
+    # pair count is unbounded at web scale) — AQE converts these joins to
+    # broadcast from runtime stats whenever cands is actually small.
     return (
         cands.join(a, "doc_a")
         .join(b, "doc_b")
@@ -237,32 +262,37 @@ def minhash_signatures(
       affine_perm give the md5-derived, SQL-oracle-reproducible family at a
       fraction of per-seed hashing cost).
 
-    signature_i = min over shingles. Entirely JVM-side: explode shingles
-    once, aggregate num_hashes mins in a single groupBy (map-side
-    combinable) — no UDF, one shuffle.
+    signature_i = min over shingles. Entirely JVM-side AND map-only: the
+    per-doc shingle array is folded with one aggregate() higher-order
+    function whose accumulator is the num_hashes-long vector of running
+    mins — no explode, no groupBy, no shuffle at all (the old
+    explode+groupBy shape shuffled one row per (doc, shingle)). In the
+    (base_fn, perm_fn) mode the base hash is computed ONCE per shingle
+    inside a transform(); the fold's lambda then sees the base value as a
+    bound variable, so the md5 cannot be re-evaluated per seed.
     """
     if (base_fn is None) != (perm_fn is None):
         raise ValueError("base_fn and perm_fn must be passed together")
     if hash_fn is not None and base_fn is not None:
         raise ValueError("pass either hash_fn OR (base_fn, perm_fn), not both")
-    sh = shingle_df(docs, n, id_col, text_col)
+    if hash_fn is None and base_fn is None:
+        hash_fn = lambda c, seed: F.xxhash64(c, F.lit(seed))  # noqa: E731
+    da = shingle_arrays(docs, n, id_col, text_col)
     if base_fn is not None:
-        sh = sh.withColumn("__h", base_fn(F.col("shingle")))
-        mins = [
-            F.min(perm_fn(F.col("__h"), i)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        vals = F.transform(F.col("arr0"), lambda s: base_fn(s))
+        seed_vec = lambda h: F.array(  # noqa: E731
+            *[perm_fn(h, i) for i in range(num_hashes)]
+        )
     else:
-        if hash_fn is None:
-            hash_fn = lambda c, seed: F.xxhash64(c, F.lit(seed))  # noqa: E731
-        mins = [
-            F.min(hash_fn(F.col("shingle"), i)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    agg = sh.groupBy("doc_id").agg(*mins)
-    return agg.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+        vals = F.col("arr0")
+        seed_vec = lambda s: F.array(  # noqa: E731
+            *[hash_fn(s, i) for i in range(num_hashes)]
+        )
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    sig = F.aggregate(
+        vals, init, lambda acc, v: F.zip_with(acc, seed_vec(v), lambda a, b: F.least(a, b))
     )
+    return da.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -331,7 +361,6 @@ def minhash_lsh_pairs(
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     est = F.size(
         F.filter(
@@ -339,10 +368,16 @@ def minhash_lsh_pairs(
             lambda m: m,
         )
     ) / F.lit(num_hashes)
+    # Verify BEFORE the pair dedup (guide §2.3 "shuffle fewer bytes"): est
+    # is a pure function of (doc_a, doc_b) — every duplicate of a pair
+    # carries the identical value — so filter/dropDuplicates commute, and
+    # the dedup shuffle now moves only the pairs that pass the threshold
+    # (and three scalars instead of two num_hashes-long signature arrays).
     return (
         cands.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
@@ -360,7 +395,12 @@ def simhash(
     (default xxhash64; kgner.functions.hashing.stable_hash64_col for the
     oracle-reproducible md5 variant).
     """
-    # one regex pass; the DuckDB oracle replays this exact form
+    from kgner.operators.partitioning import spread_scan
+
+    # one regex pass; the DuckDB oracle replays this exact form.
+    # spread_scan: tokenization + 64 bit-sums parallelize past a single-file
+    # scan's 1-2 partitions (the groupBy's partial agg runs map-side).
+    docs = spread_scan(docs, id_col)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
@@ -433,13 +473,18 @@ def simhash_near_pairs(
             F.col("a.simhash").alias("ha"),
             F.col("b.simhash").alias("hb"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # Verify BEFORE the pair dedup: hamming is a pure function of
+    # (doc_a, doc_b), so the popcount filter commutes with dropDuplicates.
+    # 16-bit bands collide heavily on low-entropy corpora (measured 94.7M
+    # candidate rows for 100k docs at sf1.0) — filtering in the join's
+    # output stage keeps those rows out of the dedup shuffle entirely.
     return (
         cands.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 

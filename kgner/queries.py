@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kgner.functions.text import BPE_ISH_PATTERN
+from kgner.operators.partitioning import spread_scan
 
 # gazetteer over the synthetic `documents` vocabulary (entity stand-ins)
 GAZ = ["spark", "customer", "table", "join", "window"]
@@ -365,7 +366,7 @@ FROM (SELECT DISTINCT event_type FROM events)
 
 def q_vocab(spark, sf_dir):
     """A-3: vocabulary build with min_freq cutoff (flair/data.py:901-960)."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     return (
         d.select(F.explode(_toks(F.col("text"))).alias("term"))
         .groupBy("term")
@@ -457,7 +458,7 @@ FROM documents GROUP BY 1
 def q_exact_dedup(spark, sf_dir):
     """Dedup #1: exact hash-groupBy (kgner.operators.dedup.exact_dedup
     semantics, keyed here by normalized text for the SQL oracle)."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return (
         d.groupBy(norm.alias("norm"))
@@ -714,7 +715,7 @@ FROM d WHERE doc_id NOT IN (SELECT node FROM losers)
 
 def q_token_counts(spark, sf_dir):
     """Curation: whitespace + BPE-ish token counting."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -737,7 +738,7 @@ def q_lang_id(spark, sf_dir):
     """Curation: script-ratio + stopword language ID heuristic."""
     from kgner.operators.textquality import lang_id_features
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     return lang_id_features(d).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang_guess"
     )
@@ -770,7 +771,7 @@ def q_quality(spark, sf_dir):
     """Curation: C4/Gopher-style quality features + composite score."""
     from kgner.operators.textquality import quality_features
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     return quality_features(d.select("doc_id", "text")).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -808,7 +809,7 @@ FROM f
 def q_fingerprint(spark, sf_dir):
     """Curation: deterministic document fingerprint (md5 of normalized text
     — the cross-engine-checkable variant of kgner fingerprint's xxhash64)."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"), F.md5(norm).alias("doc_fp_md5")
@@ -832,7 +833,7 @@ def q_entity_spans(spark, sf_dir):
     gaps-and-islands SQL oracle."""
     from kgner.operators.ensemble import decode_spans_udf
 
-    d = _t(spark, sf_dir, "documents")
+    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     toks = _toks(F.col("text"))
     tags = _gaz_bio_tags(toks)
     spans = d.select(
@@ -876,7 +877,7 @@ FROM g GROUP BY doc_id, isl
 def q_mention_cooccur(spark, sf_dir):
     """Triple op: distinct co-occurring gazetteer-entity pairs per doc
     (kgner.operators.triples.cooccurrence_triples shape)."""
-    d = _t(spark, sf_dir, "documents")
+    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     toks = _toks(F.col("text"))
     gaz = F.array(*[F.lit(g) for g in GAZ])
     ents = F.array_sort(
@@ -921,8 +922,10 @@ def bm25_contract_inputs(spark, sf_dir):
     filter-pruned doc_id < 5 rows."""
     d = _t(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
+    # spread only the corpus-tokenize side; the query side keeps its raw
+    # scan so the doc_id < 5 predicate still pushes down to parquet
     postings = (
-        d.select(F.col("doc_id"), F.explode(toks).alias("term"))
+        spread_scan(d, "doc_id").select(F.col("doc_id"), F.explode(toks).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
@@ -2194,7 +2197,10 @@ def q_cosine_topk(spark, sf_dir):
             F.col("vec_id").alias("query_id"), F.col("v").alias("q")
         )
     )
-    scored = v.crossJoin(q).select(
+    # spread the scan side: N x Q dot products parallelize past the
+    # single-file embedding table's one partition (the broadcast q subtree
+    # keeps its raw scan + pushdown)
+    scored = spread_scan(v, "vec_id").crossJoin(q).select(
         "query_id",
         "vec_id",
         F.round(cosine_col(F.col("q"), F.col("v")), 6).alias("cosine"),
