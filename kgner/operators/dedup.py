@@ -412,20 +412,31 @@ def simhash(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("h", hash_fn(F.col("tok")))
+    # Packed bit-count aggregation (guide §1.2 "per-task work"): bit j's
+    # majority vote needs only s_j = count of tokens with bit j set, since
+    # sum(2*bit-1) = 2*s_j - n. Summing (h >>> j) & 0x0000000100000001
+    # accumulates s_j (low lane) and s_{j+32} (high lane) in one long — 32
+    # aggregate expressions instead of 64, exact integer arithmetic, no
+    # lane overflow below 2^32 tokens per doc.
+    mask = F.lit(0x0000000100000001)
     sums = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(
-                    F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1)) != 0, 1
-                ).otherwise(-1)
-            ).alias(f"b{j}")
-            for j in range(64)
-        ]
+            F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(mask)).alias(
+                f"p{j}"
+            )
+            for j in range(32)
+        ],
     )
+    n = F.col("n")
     acc = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(32):
+        lo = F.col(f"p{j}").bitwiseAND(F.lit(0xFFFFFFFF))
+        hi = F.shiftrightunsigned(F.col(f"p{j}"), 32)
         acc = acc + F.when(
-            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+            lo * 2 > n, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long")) + F.when(
+            hi * 2 > n, F.shiftleft(F.lit(1).cast("long"), j + 32)
         ).otherwise(F.lit(0).cast("long"))
     return sums.select("doc_id", acc.alias("simhash"))
 

@@ -831,15 +831,44 @@ def q_entity_spans(spark, sf_dir):
     """W-1: BIO span decoding (flair/data.py:455-532) — gazetteer tokens
     become B-/I- runs, decoded by the real span-decode UDF, verified by a
     gaps-and-islands SQL oracle."""
-    from kgner.operators.ensemble import decode_spans_udf
-
     d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
     toks = _toks(F.col("text"))
-    tags = _gaz_bio_tags(toks)
-    spans = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        toks.alias("toks"),
-        F.explode(decode_spans_udf(tags)).alias("span"),
+    # JVM span decode (guide §4.1: built-ins over UDFs): on gazetteer BIO
+    # tags decode_spans yields exactly the maximal runs of gazetteer
+    # tokens, so compute run starts/ends directly — every run has one
+    # start and one end in order, so zip_with pairs them 1:1. Equivalence
+    # with the decode_spans_udf route is pinned by
+    # tests/test_round6.py::test_entity_spans_jvm_decode_matches_udf;
+    # the general BIO/BIOES decoder still serves the model-prediction
+    # paths (kgner/operators/ensemble.py).
+    # `ent` is materialized as a COLUMN first: referencing the transform
+    # expression itself inside the filter lambdas would re-evaluate it per
+    # index (O(n^2) per row — measured 5.5 s vs 0.4 s at sf1.0, worse than
+    # the UDF it replaces); a multi-use alias of a non-trivial expression
+    # survives CollapseProject, so each row computes it once.
+    gaz = F.array(*[F.lit(g) for g in GAZ])
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), toks.alias("toks")
+    ).withColumn("ent", F.transform("toks", lambda t: F.array_contains(gaz, t)))
+    ent = F.col("ent")
+    idx = F.sequence(F.lit(0), F.size("toks") - 1)
+    starts = F.filter(
+        idx,
+        lambda i: F.get(ent, i)
+        & ((i == 0) | ~F.coalesce(F.get(ent, i - 1), F.lit(False))),
+    )
+    ends = F.filter(
+        idx,
+        lambda i: F.get(ent, i)
+        & ~F.coalesce(F.get(ent, i + 1), F.lit(False)),
+    )
+    spans_arr = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("start"), (e + 1).alias("end"))
+    )
+    spans = base.select(
+        "doc_id",
+        "toks",
+        F.explode(spans_arr).alias("span"),
     )
     return spans.select(
         "doc_id",
