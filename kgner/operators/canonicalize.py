@@ -151,9 +151,14 @@ def canonical_map(
     )
     # case-variant nodes in different components can collide after lower();
     # min(canonical_id) makes the winner deterministic (oracle matches)
-    return (
+    out = (
         comp.join(rep, "component")
         .select(F.lower(F.col("node")).alias("alias_norm"), "canonical_id")
         .groupBy("alias_norm")
         .agg(F.min("canonical_id").alias("canonical_id"))
     )
+    # The map is dimension-sized and typically consumed twice per pipeline
+    # (broadcast-index build AND the triple join) — checkpoint so the edge
+    # build + CC + representative joins run once per job instead of once
+    # per consumer (~40% of the bench KG pipeline before this).
+    return out.localCheckpoint(eager=False)

@@ -130,9 +130,13 @@ def bm25_topk(
     # the doc-side tf (the ES match query sums per unique query term). One
     # chain serves both modes: the join key is ["term", *langk] (langk
     # empty in mix mode) and with_stats picks per-lang join vs crossJoin.
+    # doc_freq is VOCABULARY-sized — not force-broadcast (unbounded at
+    # scale, and the driver collect costs more than the join it saves);
+    # the qterms-join output is query-term-sized, so AQE picks the
+    # broadcast side from runtime stats.
     scored = with_stats(
         qterms.join(postings, ["term", *langk])
-        .join(F.broadcast(doc_freq), ["term", *langk])
+        .join(doc_freq, ["term", *langk])
         .join(docs.select("doc_id", "len"), "doc_id"),
         stats,
     )

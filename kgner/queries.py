@@ -988,10 +988,15 @@ def q_bm25_retrieval(spark, sf_dir):
     qt = queries.select("query_id", F.explode("qterms").alias("term"))
     from kgner.bm25 import B, K1
 
+    # dfreq is VOCABULARY-sized and lens is CORPUS-sized — neither is
+    # force-broadcast (collecting 2.6M dfreq rows to the driver cost more
+    # than the join it saved at sf1.0, and both are unbounded at scale);
+    # the qt-join output is query-term-sized, so AQE broadcasts the small
+    # side of each join from runtime stats instead.
     scored = (
         qt.join(postings, "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(lens), "doc_id")
+        .join(dfreq, "term")
+        .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
@@ -1535,7 +1540,10 @@ def q_contextual_spans(spark, sf_dir):
     from kgner.operators.ensemble import ensemble_votes, strip_context_tags
     from kgner.operators.inference import tag_with_crf
 
-    d = _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    d = spread_scan(
+        _t(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""),
+        "doc_id",
+    )
     toks = _toks(F.col("text"))
     sents = d.select(
         F.col("doc_id").alias("query_id"),
