@@ -193,9 +193,6 @@ def fmm_segment_col(s: Column, lexicon) -> Column:
     )
 
 
-# above this lexicon size the JVM fold's literal InSets bloat the plan
-# (real ik dictionaries are ~300k words) — switch to the Arrow-batched UDF,
-# which ships the lexicon to executors once in the closure instead
 # above this lexicon size the JVM FMM fold's literal InSets bloat the plan
 # (real ik dictionaries are ~300k words) — switch to the Arrow-batched UDF,
 # which ships the lexicon to executors once in the closure instead

@@ -109,10 +109,10 @@ def ngram_jaccard_pairs(
     BEFORE the per-doc collect — the guard that keeps one pathological
     giant document (a 100MB page is ~20M shingles) from blowing the
     collect_list buffer at scale. Retention is BOTTOM-K BY CONTENT HASH
-    (md5-64 of the shingle), i.e. a deterministic uniform sample of the
-    doc's set — the bottom-k minhash estimator: two near-identical giants
-    keep nearly identical samples, so capped-set Jaccard is an unbiased
-    estimate of true Jaccard. (Rarest-first retention would instead keep
+    (md5-64 of the shingle), i.e. a deterministic hash-order sample of the
+    doc's set: near-identical sets keep near-identical samples, giving a
+    consistent (not unbiased — the rank is relative to each doc's own set)
+    Jaccard estimate. (Rarest-first retention would instead keep
     each doc's PRIVATE df=1 shingles and evict the shared evidence,
     silently missing near-identical-but-not-byte-identical giants — the
     feature's motivating case.) Results for docs under the cap are
@@ -161,9 +161,10 @@ def ngram_jaccard_pairs(
     ).filter(F.col("df") <= max_shingle_df)
     if max_doc_shingles is not None:
         # bound per-doc cardinality BEFORE the collect: row_number under a
-        # CONTENT-HASH order (md5 hex prefix, shingle tiebreak) — bottom-k
-        # sampling, identical keep-decisions for the same shingle in every
-        # doc, and replayable in the DuckDB oracle (substr(md5(s),1,16) —
+        # CONTENT-HASH order (md5 hex prefix, shingle tiebreak) — a
+        # deterministic hash-order sample per doc (the rank is relative to
+        # each doc's own set), replayable in the DuckDB oracle
+        # (substr(md5(s),1,16) —
         # both engines emit lowercase hex, and fixed-length hex STRINGS
         # sort exactly like the unsigned value, so no decimal/UBIGINT
         # conversion is needed; decimal ordering keys cost ~2x in hot

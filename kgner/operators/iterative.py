@@ -18,7 +18,12 @@ from pyspark.sql import functions as F
 # the reference applies the inter-CJK space-removal rule (replace_zh_space,
 # ensemble_prediction.py:199-213) to queries whose lang is zh or mix; this
 # is the JVM mirror of kgner.textops._ZH_SPACE_RE ((?U): Java \s is ASCII
-# by default, Python's is Unicode — U+3000 must behave identically)
+# by default, Python's is Unicode — U+3000 must behave identically).
+# DELIBERATE DEVIATION: the reference regex also strips spaces adjacent to
+# digits and CJK/ASCII punctuation, and its global text.replace has known
+# side effects inside latin substrings; this narrower inter-CJK-only rule
+# is kept intentionally (same deviation class as CJK_ANALYZER_LANGS,
+# kgner/functions/text.py).
 _ZH_SPACE_JVM = r"(?U)(?<=[一-鿿　-〿])\s+(?=[一-鿿　-〿])"
 _ZH_SPACE_LANGS = ("zh", "mix")
 
@@ -104,8 +109,18 @@ def iterative_retrieval(
     zh_lexicon: when the KB index was built with kb_index(zh_lexicon=),
     pass the SAME lexicon so zh/mix window queries re-tokenize with the
     dictionary analyzer — char-level tokens cannot match multi-char
-    dictionary posting terms.
+    dictionary posting terms. Requires lang_col (the dict re-tokenization
+    is routed by language; without routing the lexicon would silently
+    never apply — the same misconfiguration class
+    PipelineConfig.__post_init__ guards against).
     """
+    if zh_lexicon is not None and lang_col is None:
+        raise ValueError(
+            "zh_lexicon requires lang_col: dictionary re-tokenization is "
+            "routed per language, so without lang routing zh window queries "
+            "would keep char-level tokens that can never match the "
+            "dictionary-built postings (pass lang_col, as kb_index did)"
+        )
     from kgner.operators.mentions import detect_mentions
     from kgner.operators.retrieval import bm25_topk
 
