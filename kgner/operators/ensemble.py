@@ -62,7 +62,15 @@ def iobes_udf(tags: pd.Series) -> pd.Series:
 
 
 def decode_predictions(predictions: DataFrame) -> DataFrame:
-    """model_predictions(model_id, url, sent_id, tags) -> one row per span."""
+    """model_predictions(model_id, url, sent_id, tags) -> one row per span.
+
+    Decode stays on the Arrow-batched UDF DELIBERATELY: a JVM aggregate()
+    fold replaying the decode state machine was built and measured in r6
+    at 2.8x SLOWER (2.1 s vs 0.75 s over sf1.0 gaz tags) — interpreted
+    higher-order expressions with per-element struct construction lose to
+    the vectorized Python loop here, unlike the run-decode special case
+    in q_entity_spans where the span structure is computable with array
+    primitives."""
     return predictions.select(
         "model_id",
         "url",
