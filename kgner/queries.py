@@ -365,8 +365,13 @@ FROM (SELECT DISTINCT event_type FROM events)
 # --------------------------------------------------------------------------
 
 def q_vocab(spark, sf_dir):
-    """A-3: vocabulary build with min_freq cutoff (flair/data.py:901-960)."""
-    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
+    """A-3: vocabulary build with min_freq cutoff (flair/data.py:901-960).
+
+    No spread_scan here: the term groupBy's partial aggregation already
+    parallelizes after the first exchange, and the r6 A/B measured the
+    extra repartition as a wash at sf1.0 and a fixed ~0.3 s loss at
+    sf0.1."""
+    d = _t(spark, sf_dir, "documents")
     return (
         d.select(F.explode(_toks(F.col("text"))).alias("term"))
         .groupBy("term")
@@ -457,8 +462,11 @@ FROM documents GROUP BY 1
 
 def q_exact_dedup(spark, sf_dir):
     """Dedup #1: exact hash-groupBy (kgner.operators.dedup.exact_dedup
-    semantics, keyed here by normalized text for the SQL oracle)."""
-    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
+    semantics, keyed here by normalized text for the SQL oracle).
+
+    No spread_scan: same rationale as q_vocab (r6 A/B — wash at sf1.0,
+    fixed loss at small SFs)."""
+    d = _t(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     return (
         d.groupBy(norm.alias("norm"))
