@@ -193,10 +193,16 @@ def fmm_segment_col(s: Column, lexicon) -> Column:
     )
 
 
-# above this lexicon size the JVM FMM fold's literal InSets bloat the plan
-# (real ik dictionaries are ~300k words) — switch to the Arrow-batched UDF,
-# which ships the lexicon to executors once in the closure instead
-FMM_JVM_LEXICON_MAX = 10_000
+# above this lexicon size switch to the Arrow-batched UDF, which ships the
+# lexicon to executors once in the closure. r6 measurement (20k-doc han
+# corpus, same lexicon both paths, warm): the UDF scan is ~35% faster at
+# EVERY size (0.56-0.68 s vs 0.88-1.05 s; both size-independent — the fold
+# is interpreted per position, InSet probes are O(1)), and the fold's
+# literal tree additionally costs seconds of driver-side analysis at 10k
+# words (4-6 s observed cold). The JVM window is kept only for small
+# lexica where plan purity (no Python workers) matters and absolute cost
+# is negligible; real ik dictionaries (~300k words) always take the UDF.
+FMM_JVM_LEXICON_MAX = 1_024
 # the max_word JVM form is O(|lexicon|) REPLACE CALLS per han run (a very
 # different cost model from the InSet probe above), so its JVM cutoff is
 # far lower; above it the position-scan UDF is the right path
