@@ -26,12 +26,32 @@ from pyspark.sql import functions as F
 # workloads would be overkill for sub-second stages).
 SPREAD_MULT = 2
 
+# Opt-in floor for LIGHT one-pass maps (single split/lower/regex over the
+# text): below ~32 KB of compressed input per core, the single-core map is
+# already sub-second and a full exchange of the same bytes is pure fixed
+# latency (measured at sf0.1: bm25 tokenize +1.3 s, lang_id +0.4 s from the
+# exchange; at sf1.0-and-up the guard passes and the exchange wins 6x).
+# Heavy per-row operators (shingle/n-gram HOF builds, simhash bit folds)
+# must NOT use this floor — their work-per-byte amortizes the exchange even
+# at tiny scale (ngram at sf0.1: 3.2 s with spread vs 5.2 s without).
+SPREAD_MIN_BYTES_PER_CORE = 32 << 10
 
-def spread_scan(df: DataFrame, *key_cols: str, mult: int = SPREAD_MULT) -> DataFrame:
+
+def spread_scan(
+    df: DataFrame,
+    *key_cols: str,
+    mult: int = SPREAD_MULT,
+    min_bytes_per_core: int = 0,
+) -> DataFrame:
     """Repartition `df` to cores*mult partitions keyed on `key_cols` iff its
     current partitioning is below half that target; otherwise return it
     unchanged. Keyed (hash) repartition avoids round-robin's
-    sort-before-repartition pass and is deterministic under task retry."""
+    sort-before-repartition pass and is deterministic under task retry.
+
+    min_bytes_per_core > 0 additionally skips the repartition when the
+    optimizer's size estimate gives each core less than that many bytes —
+    the opt-in for light one-pass maps (see SPREAD_MIN_BYTES_PER_CORE);
+    size estimation is driver-side plan stats, no job is launched."""
     try:
         sc = df.sparkSession.sparkContext
         target = sc.defaultParallelism * mult
@@ -40,6 +60,15 @@ def spread_scan(df: DataFrame, *key_cols: str, mult: int = SPREAD_MULT) -> DataF
         return df
     if cur * 2 > target:
         return df
+    if min_bytes_per_core:
+        try:
+            size = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:
+            size = None
+        if size is not None and size < min_bytes_per_core * sc.defaultParallelism:
+            return df
     if key_cols:
         return df.repartition(target, *[F.col(c) for c in key_cols])
     return df.repartition(target)

@@ -743,10 +743,20 @@ FROM documents
 
 
 def q_lang_id(spark, sf_dir):
-    """Curation: script-ratio + stopword language ID heuristic."""
-    from kgner.operators.textquality import lang_id_features
+    """Curation: script-ratio + stopword language ID heuristic.
 
-    d = spread_scan(_t(spark, sf_dir, "documents"), "doc_id")
+    spread_scan carries the light-map bytes floor: the regex feature pass is
+    one sweep over the text, so below ~32 KB/core the exchange costs more
+    than the single-core map it parallelizes (sf0.1 A/B: 0.64 s without vs
+    1.0 s with; the sf1.0 win — 4.3 s -> 0.7 s — is above the floor)."""
+    from kgner.operators.textquality import lang_id_features
+    from kgner.operators.partitioning import SPREAD_MIN_BYTES_PER_CORE
+
+    d = spread_scan(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        min_bytes_per_core=SPREAD_MIN_BYTES_PER_CORE,
+    )
     return lang_id_features(d).select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang_guess"
     )
@@ -960,9 +970,17 @@ def bm25_contract_inputs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
     # spread only the corpus-tokenize side; the query side keeps its raw
-    # scan so the doc_id < 5 predicate still pushes down to parquet
+    # scan so the doc_id < 5 predicate still pushes down to parquet.
+    # min_bytes_per_core: the tokenize is a LIGHT one-pass split — below
+    # ~32 KB/core of input the exchange is pure fixed latency (sf0.1 A/B:
+    # 1.0-1.4 s without the exchange vs 2.0-3.3 s with; at sf1.0-and-up the
+    # guard passes and the spread keeps its measured win).
+    from kgner.operators.partitioning import SPREAD_MIN_BYTES_PER_CORE
+
     postings = (
-        spread_scan(d, "doc_id").select(F.col("doc_id"), F.explode(toks).alias("term"))
+        spread_scan(
+            d, "doc_id", min_bytes_per_core=SPREAD_MIN_BYTES_PER_CORE
+        ).select(F.col("doc_id"), F.explode(toks).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)

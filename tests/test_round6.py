@@ -101,3 +101,31 @@ def test_near_pair_filter_before_dedup_keeps_pair_set(spark):
     mp = minhash_lsh_pairs(doubled, num_hashes=16, bands=4, threshold=0.999)
     assert mp.count() == mp.dropDuplicates(["doc_a", "doc_b"]).count()
     assert mp.filter(F.col("est_jaccard") < 0.999).count() == 0
+
+
+def test_spread_scan_bytes_floor(spark):
+    """min_bytes_per_core skips the repartition for tiny scans (light-map
+    opt-in) but leaves the default heavy-path behavior (always spread a
+    single-partition scan) unchanged; results are identical either way."""
+    from kgner.operators.partitioning import SPREAD_MIN_BYTES_PER_CORE, spread_scan
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    base = d.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism * 2
+
+    # default (heavy-path) behavior: tiny single-file scan is spread
+    spread = spread_scan(d, "doc_id")
+    assert spread.rdd.getNumPartitions() == target
+
+    # light-map opt-in: the sf0.001 file is far below 32 KB/core * cores,
+    # so the exchange is skipped entirely
+    guarded = spread_scan(d, "doc_id", min_bytes_per_core=SPREAD_MIN_BYTES_PER_CORE)
+    assert guarded.rdd.getNumPartitions() == base
+
+    # a floor of 1 byte/core passes for any non-empty file -> spread again
+    assert spread_scan(d, "doc_id", min_bytes_per_core=1).rdd.getNumPartitions() == target
+
+    # row content is unaffected by either path
+    assert sorted(r["doc_id"] for r in guarded.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in spread.select("doc_id").collect()
+    )
